@@ -1,0 +1,182 @@
+"""Golden-value tests for the core DSP ops against independent numpy oracles.
+
+The oracles re-derive the reference formulas (model_torch.py:19-51,
+181-193, 340-346; utils.py:390-420) in plain numpy; they are written from
+the math, not imported from the reference tree.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from biear_tpu.ops import (
+    erb_hz, erb_rate, inv_erb_rate, erb_spaced_fc_and_q, make_deltaQ_profile,
+    hann_window_periodic, frame_1s, gaussian_filterbank, filterbank_apply,
+    cross_correlation_feature,
+)
+from biear_tpu.ops.framing import frame_params
+from biear_tpu.ops.filterbank import band_phase, fixed_filterbank_matrix
+
+
+# ---------- numpy oracles ----------
+
+def np_erb_rate(f):
+    return 21.4 * np.log10(4.37 * f / 1000.0 + 1.0)
+
+
+def np_erb_spaced_fc_and_q(N=100, fmin=50.0, fmax=7200.0, erb_factor=1.019):
+    E = np.linspace(np_erb_rate(fmin), np_erb_rate(fmax), N)
+    fc = (10 ** (E / 21.4) - 1.0) * 1000.0 / 4.37
+    bw = erb_factor * (24.7 * (4.37 * fc / 1000.0 + 1.0))
+    return fc, fc / bw
+
+
+def np_deltaQ_profile(fc, base=2.0, lo=0.5, hi=1.0):
+    E = np_erb_rate(fc)
+    E = (E - E.min()) / (E.max() - E.min() + 1e-12)
+    return np.clip(base * (lo + (hi - lo) * E), 1e-3, None)
+
+
+def np_gaussian_fb(Q, fc, f_fft):
+    bw = (fc / (Q + 1e-8))[..., None] + 1e-8
+    W = np.exp(-0.5 * ((f_fft[None, :] - fc[:, None]) / bw) ** 2)
+    W = W / (W.sum(-1, keepdims=True) + 1e-8)
+    return np.nan_to_num(W)
+
+
+def np_cc_feature(left, right, fs, num_lags=100, max_lag_ms=3.0):
+    left = left.astype(np.float64) - left.mean()
+    right = right.astype(np.float64) - right.mean()
+    cc_full = np.correlate(left, right, mode="full")
+    lags = np.arange(-len(left) + 1, len(left)) / fs
+    mls = max_lag_ms * 1e-3
+    mask = np.logical_and(lags >= -mls, lags <= mls)
+    cc_crop = cc_full[mask] / (np.max(np.abs(cc_full[mask])) + 1e-8)
+    target = np.linspace(-mls, mls, num_lags)
+    return np.interp(target, lags[mask], cc_crop).astype(np.float32)
+
+
+# ---------- tests ----------
+
+def test_erb_grid_matches_oracle():
+    fc, Q0 = erb_spaced_fc_and_q(100, 50.0, 7200.0)
+    fc_np, Q0_np = np_erb_spaced_fc_and_q(100, 50.0, 7200.0)
+    np.testing.assert_allclose(np.asarray(fc), fc_np, rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(Q0), Q0_np, rtol=2e-6)
+    # Documented range of the canonical config (conf/config.yaml:57).
+    assert 1.5 < float(Q0[0]) < 1.8 and 8.0 < float(Q0[-1]) < 9.5
+
+
+def test_erb_roundtrip():
+    f = jnp.linspace(50.0, 7200.0, 64)
+    np.testing.assert_allclose(np.asarray(inv_erb_rate(erb_rate(f))), np.asarray(f),
+                               rtol=5e-4)  # float32 transcendental roundtrip
+    assert float(erb_hz(jnp.float32(1000.0))) == pytest.approx(24.7 * 5.37, rel=1e-6)
+
+
+def test_deltaQ_profile_matches_oracle():
+    fc, _ = erb_spaced_fc_and_q(100, 50.0, 7200.0)
+    got = make_deltaQ_profile(fc, 1.0, 0.3, 5.0)
+    # The reference computes this on the float32 fc buffer in numpy
+    # (model_torch.py:42-44), so the oracle also runs in float32.
+    want = np_deltaQ_profile(np.asarray(fc, np.float32), 1.0, 0.3, 5.0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5)
+    assert np.all(np.diff(np.asarray(got)) > 0)  # monotone low->high
+
+
+def test_hann_window_is_periodic_variant():
+    w = np.asarray(hann_window_periodic(842))
+    n = np.arange(842)
+    np.testing.assert_allclose(w, 0.5 * (1 - np.cos(2 * np.pi * n / 842)),
+                               atol=1e-7)
+
+
+def test_frame_1s_shapes_and_values(rng):
+    fs, T = 16000, 19
+    win, hop = frame_params(fs, T, 1.0)
+    assert (win, hop) == (842, 842)
+    wav = rng.standard_normal((2, fs)).astype(np.float32)
+    frames = np.asarray(frame_1s(jnp.asarray(wav), fs, T, win, hop))
+    assert frames.shape == (2, 19, 842)
+    for t in range(19):
+        np.testing.assert_array_equal(frames[:, t], wav[:, t * hop:t * hop + win])
+
+
+def test_frame_1s_pads_short_input(rng):
+    fs, T = 16000, 19
+    win, hop = frame_params(fs, T, 1.0)
+    wav = rng.standard_normal((1, 12000)).astype(np.float32)
+    frames = np.asarray(frame_1s(jnp.asarray(wav), fs, T, win, hop))
+    assert frames.shape == (1, 19, 842)
+    padded = np.pad(wav, ((0, 0), (0, 4000)))
+    np.testing.assert_array_equal(frames[0, 5], padded[0, 5 * hop:5 * hop + win])
+
+
+def test_gaussian_filterbank_matches_oracle(rng):
+    fc, Q0 = np_erb_spaced_fc_and_q(100, 50.0, 7200.0)
+    f_fft = np.linspace(0, 8000.0, 513)
+    Q = (Q0[None] * rng.uniform(0.5, 1.5, (4, 100))).astype(np.float32)
+    W = gaussian_filterbank(jnp.asarray(Q), jnp.asarray(fc, jnp.float32),
+                            jnp.asarray(f_fft, jnp.float32))
+    W_np = np_gaussian_fb(Q.astype(np.float64), fc, f_fft)
+    assert W.shape == (4, 100, 513)
+    np.testing.assert_allclose(np.asarray(W), W_np, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(W).sum(-1), 1.0, atol=1e-3)
+
+
+def test_filterbank_apply_fuses_mag_and_complex(rng):
+    fc, Q0 = np_erb_spaced_fc_and_q(100, 50.0, 7200.0)
+    f_fft = np.linspace(0, 8000.0, 513)
+    Q = np.tile(Q0[None].astype(np.float32), (3, 1))
+    X = (rng.standard_normal((3, 513)) + 1j * rng.standard_normal((3, 513)))
+    Y, Zre, Zim = filterbank_apply(jnp.asarray(Q), jnp.asarray(fc, jnp.float32),
+                                   jnp.asarray(f_fft, jnp.float32),
+                                   jnp.asarray(np.abs(X), jnp.float32),
+                                   jnp.asarray(X.real, jnp.float32),
+                                   jnp.asarray(X.imag, jnp.float32))
+    W = np_gaussian_fb(Q.astype(np.float64), fc, f_fft)
+    np.testing.assert_allclose(np.asarray(Y), np.einsum("bnf,bf->bn", W, np.abs(X)),
+                               rtol=2e-4, atol=1e-5)
+    Z = np.einsum("bnf,bf->bn", W, X)
+    np.testing.assert_allclose(np.asarray(Zre), Z.real, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Zim), Z.imag, rtol=2e-4, atol=1e-5)
+    # Phase path parity incl. the 1e-3 magnitude floor (model_torch.py:1058).
+    ph = np.asarray(band_phase(Zre, Zim))
+    mag = np.maximum(np.abs(Z), 1e-3)
+    np.testing.assert_allclose(ph, np.arctan2(Z.imag / mag, Z.real / mag),
+                               atol=2e-4)
+
+
+def test_fixed_filterbank_matrix_clips_q():
+    fc, Q0 = erb_spaced_fc_and_q(100, 50.0, 7200.0)
+    f_fft = jnp.linspace(0.0, 8000.0, 513)
+    W = fixed_filterbank_matrix(Q0, fc, f_fft)
+    assert W.shape == (100, 513)
+    np.testing.assert_allclose(np.asarray(W).sum(-1), 1.0, atol=1e-3)
+
+
+def test_cross_correlation_feature_matches_oracle(rng):
+    fs = 16000
+    left = rng.standard_normal((2, fs)).astype(np.float32)
+    right = np.roll(left, 13, axis=-1) + 0.1 * rng.standard_normal((2, fs)).astype(np.float32)
+    got = np.asarray(cross_correlation_feature(jnp.asarray(left), jnp.asarray(right), fs))
+    assert got.shape == (2, 100)
+    for b in range(2):
+        want = np_cc_feature(left[b], right[b], fs)
+        np.testing.assert_allclose(got[b], want, atol=2e-4)
+    # 1-D convenience path
+    got1 = np.asarray(cross_correlation_feature(jnp.asarray(left[0]),
+                                                jnp.asarray(right[0]), fs))
+    np.testing.assert_allclose(got1, got[0], atol=1e-6)
+
+
+def test_cc_feature_peak_at_expected_lag(rng):
+    # right delayed by 16 samples (1 ms) => correlation peak at +1 ms lag.
+    fs = 16000
+    sig = rng.standard_normal(fs).astype(np.float32)
+    right = np.roll(sig, 16)
+    cc = np.asarray(cross_correlation_feature(jnp.asarray(sig), jnp.asarray(right), fs))
+    lag_grid = np.linspace(-3e-3, 3e-3, 100)
+    assert abs(lag_grid[np.argmax(cc)] - (-1e-3)) < 1.2e-4 or \
+           abs(lag_grid[np.argmax(cc)] - 1e-3) < 1.2e-4
