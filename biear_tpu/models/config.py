@@ -1,0 +1,71 @@
+"""Model configuration.
+
+One frozen dataclass covers the whole experiment matrix of the reference's
+builders (model_torch.py:1252-1367): passive / active, dual vs single
+Q-controller, fixed vs adaptive frontend Q, CC feature on/off, the deltaQ
+profile, and the AuralNet baseline's d_model. Frozen + hashable so it can
+be a static argument to jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class BiEARConfig:
+    # signal / framing (model_torch.py:209-230)
+    fs: int = 16000
+    timesteps: int = 19
+    n_fft: int = 1024
+    n_bands: int = 100
+    fmin: float = 50.0
+    fmax: float | None = None          # None -> fs/2 * 0.9 (model_torch.py:238-239)
+    hop_ratio: float = 1.0
+
+    # backbone dims (model_torch.py:11-14)
+    latent_dim: int = 100
+    n_sectors: int = 8
+    n_dist_class: int = 5
+
+    # features
+    use_cc: bool = True
+
+    # frontend Q control
+    fixed_frontend_q: bool = False
+    controller_mode: str = "dual"      # "dual" | "single"
+    freeze_q: bool = False             # force Q = Q0 at runtime (controller exists)
+    ctrl_hidden: int = 128
+    alpha: float = 0.2                 # kept for settings parity (unused, like ref)
+
+    # deltaQ profile (model_torch.py:36-51, 245-252)
+    deltaQ_base: float = 2.0
+    deltaQ_low_factor: float = 0.5
+    deltaQ_high_factor: float = 1.0
+    deltaQ_mode: str = "absolute"      # "absolute" | "relative"
+
+    # Q clamp (model_torch.py:283)
+    q_min: float = 0.05
+    q_max: float = 30.0
+
+    # dropout rates
+    ctrl_dropout: float = 0.1
+    backend_dropout: float = 0.2
+
+    # AuralNet baseline
+    d_model: int = 128
+    attn_heads: int = 4
+    attn_layers: int = 2
+    attn_dropout: float = 0.1
+
+    @property
+    def fmax_eff(self) -> float:
+        return self.fs / 2.0 * 0.9 if self.fmax is None else self.fmax
+
+    @property
+    def f_nyq(self) -> float:
+        return self.fs / 2.0
+
+    @property
+    def n_freq(self) -> int:
+        return self.n_fft // 2 + 1

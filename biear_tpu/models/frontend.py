@@ -1,0 +1,306 @@
+"""Gammatone-like frontends: adaptive-Q (dual / single controller) and fixed-Q.
+
+TPU-native restructure of the reference frontends
+(model_torch.py:200-776). Key differences from the torch implementation,
+none of which change the numerics:
+
+  * All T frames are windowed + rFFT'd in ONE batched FFT up front; only
+    the genuinely sequential Q-feedback lives in a lax.scan.
+  * The per-band phase is extracted inside the same scan step from the
+    same W (the reference re-runs a second T-loop rebuilding W from Q_all,
+    model_torch.py:1039-1063) — one W build per (ear, frame) total.
+  * The dual mode's two independent per-ear controllers are an ear-axis
+    vmap over one monaural scan, so both ears batch into every kernel.
+  * The fixed-Q path has no recurrence at all: a single precomputed (N, F)
+    matrix contracts against the whole (B, T, F) spectrogram.
+
+Controller quirks of the reference are preserved exactly:
+  * dual mode: the Y "memory" input is re-zeroed every frame, so it equals
+    0.2 * stop_grad(log1p(Y)) of the CURRENT frame (model_torch.py:355-358);
+  * single mode: the per-ear EMA memories DO persist across frames with
+    beta=0.8 and are updated after the controller step
+    (model_torch.py:746-769);
+  * the zero-init of the controller's output layer (training starts at
+    Q = Q0), the [0.05, 30] clamp, the whole-batch nonfinite reset of
+    (Q, h), and the freeze_Q behaviour.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.erb import erb_spaced_fc_and_q, make_deltaQ_profile
+from ..ops.framing import frame_params, frame_1s, hann_window_periodic
+from ..ops.filterbank import filterbank_apply, band_phase, fixed_filterbank_matrix
+from .config import BiEARConfig
+from . import layers as L
+
+
+# ---------------- static constants per config ----------------
+
+@functools.lru_cache(maxsize=None)
+def frontend_constants(cfg: BiEARConfig):
+    fc, Q0 = erb_spaced_fc_and_q(cfg.n_bands, cfg.fmin, cfg.fmax_eff,
+                                 erb_factor=1.019)
+    deltaQ_vec = make_deltaQ_profile(fc, cfg.deltaQ_base,
+                                     cfg.deltaQ_low_factor,
+                                     cfg.deltaQ_high_factor)
+    win, hop = frame_params(cfg.fs, cfg.timesteps, cfg.hop_ratio)
+    return {
+        "fc": fc,
+        "Q0": Q0,
+        "deltaQ_vec": deltaQ_vec,
+        "f_fft": jnp.linspace(0.0, cfg.f_nyq, cfg.n_freq),
+        "win": win,
+        "hop": hop,
+        "window": hann_window_periodic(win),
+        "W_fixed": fixed_filterbank_matrix(Q0, fc,
+                                           jnp.linspace(0.0, cfg.f_nyq, cfg.n_freq),
+                                           cfg.q_min, cfg.q_max),
+    }
+
+
+def spectra(cfg: BiEARConfig, wav):
+    """wav (B, Nsamp) -> (Xmag, Xre, Xim), each (B, T, F).
+
+    One batched rFFT over all frames (vs the reference's per-step
+    torch.fft.rfft inside the T-loop, model_torch.py:333-335)."""
+    c = frontend_constants(cfg)
+    frames = frame_1s(wav, cfg.fs, cfg.timesteps, c["win"], c["hop"])
+    X = jnp.fft.rfft(frames * c["window"], n=cfg.n_fft)
+    return jnp.abs(X), X.real, X.imag
+
+
+# ---------------- Q controller (GRU + MLP head) ----------------
+
+def controller_init(key, cfg: BiEARConfig, n_in: int):
+    """GRU(n_in -> 128) + [Linear, LN, SiLU, Drop] x2 + zero-init Linear(128 -> N).
+
+    Parity: model_torch.py:256-267, 286-287."""
+    ks = jax.random.split(key, 4)
+    H = cfg.ctrl_hidden
+    return {
+        "q_rnn": L.gru_init(ks[0], n_in, H),
+        "q_out": {
+            "l1": L.linear_init(ks[1], H, H),
+            "ln1": L.layer_norm_init(H),
+            "l2": L.linear_init(ks[2], H, H),
+            "ln2": L.layer_norm_init(H),
+            "l3": L.linear_init(ks[3], H, cfg.n_bands, zero=True),
+        },
+    }
+
+
+def controller_step(p, cfg: BiEARConfig, h, feat, drop_key, train: bool):
+    """One controller update: returns (delta in [-1, 1], new hidden)."""
+    h = L.gru_step(p["q_rnn"], h, feat)
+    q = p["q_out"]
+    k1 = k2 = None
+    if train and drop_key is not None:
+        k1, k2 = jax.random.split(drop_key)
+    z = L.silu(L.layer_norm(q["ln1"], L.linear(q["l1"], h)))
+    z = L.dropout(k1, z, cfg.ctrl_dropout, not train)
+    z = L.silu(L.layer_norm(q["ln2"], L.linear(q["l2"], z)))
+    z = L.dropout(k2, z, cfg.ctrl_dropout, not train)
+    return jnp.tanh(L.linear(q["l3"], z)), h
+
+
+def _next_q(cfg: BiEARConfig, c, delta):
+    if cfg.deltaQ_mode.lower() == "relative":
+        Q = c["Q0"][None] * (1.0 + c["deltaQ_vec"][None] * delta)
+    else:
+        Q = c["Q0"][None] + c["deltaQ_vec"][None] * delta
+    return jnp.clip(Q, cfg.q_min, cfg.q_max)
+
+
+def _finite_reset(Q, h, Q0):
+    """Whole-batch nonfinite guard (model_torch.py:378-380): if any Q entry
+    went nonfinite, reset Q to Q0 and the controller state to zeros."""
+    ok = jnp.all(jnp.isfinite(Q))
+    Q = jnp.where(ok, Q, jnp.broadcast_to(Q0, Q.shape))
+    h = jnp.where(ok, h, jnp.zeros_like(h))
+    return Q, h
+
+
+# ---------------- adaptive monaural scan (dual-mode building block) ----------------
+
+def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
+    """Monaural adaptive-Q filterbank over T frames.
+
+    Xmag/Xre/Xim: (B, T, F). Returns (Y, Q, phase), each (B, T, N).
+    Parity: FramewiseAdaptiveGammatoneFB.forward (model_torch.py:314-386),
+    fused with the phase extraction of model_torch.py:1039-1063.
+    """
+    c = frontend_constants(cfg)
+    B = Xmag.shape[0]
+    T = cfg.timesteps
+    Q_init = jnp.broadcast_to(c["Q0"][None], (B, cfg.n_bands))
+    h_init = jnp.zeros((B, cfg.ctrl_hidden), Xmag.dtype)
+
+    if train and rng is not None:
+        step_keys = jax.random.split(rng, T)
+    else:
+        step_keys = jnp.zeros((T, 2), jnp.uint32)
+
+    def step(carry, xs):
+        Q, h = carry
+        xmag, xre, xim, key = xs
+        Y, Zre, Zim = filterbank_apply(Q, c["fc"], c["f_fft"], xmag, xre, xim)
+        phase = band_phase(Zre, Zim)
+        out = (Y, Q, phase)
+
+        if cfg.freeze_q:
+            return (Q_init, jnp.zeros_like(h)), out
+
+        Y_ctrl = jnp.log1p(jnp.maximum(Y, 0.0))
+        # Dual-mode quirk: the EMA buffer is re-created every frame, so the
+        # "memory" input is just 0.2 * sg(Y_ctrl) (model_torch.py:355-358).
+        Y_mem = 0.2 * jax.lax.stop_gradient(Y_ctrl)
+        feat = jnp.concatenate([Y_ctrl, Y_mem], axis=-1)
+        delta, h = controller_step(p_ctrl, cfg, h, feat, key, train)
+        Qn = _next_q(cfg, c, delta)
+        Qn, h = _finite_reset(Qn, h, c["Q0"][None])
+        return (Qn, h), out
+
+    xs = (jnp.swapaxes(Xmag, 0, 1), jnp.swapaxes(Xre, 0, 1),
+          jnp.swapaxes(Xim, 0, 1), step_keys)
+    _, (Y, Q, phase) = jax.lax.scan(step, (Q_init, h_init), xs)
+    return (jnp.swapaxes(Y, 0, 1), jnp.swapaxes(Q, 0, 1),
+            jnp.swapaxes(phase, 0, 1))
+
+
+# ---------------- fixed-Q path (no recurrence) ----------------
+
+def fixed_forward(cfg: BiEARConfig, Xmag, Xre, Xim):
+    """Fixed-Q filterbank over the whole spectrogram in two einsums.
+
+    Parity: FramewiseFixedGammatoneFB (model_torch.py:451-487) + the phase
+    pass; W is the one precomputed clamped-Q0 matrix."""
+    c = frontend_constants(cfg)
+    W = c["W_fixed"]                                     # (N, F)
+    hp = jax.lax.Precision.HIGHEST
+    Y = jnp.einsum("btf,nf->btn", Xmag, W, precision=hp)
+    Y = jnp.nan_to_num(Y, nan=0.0, posinf=0.0, neginf=0.0)
+    Zre = jnp.einsum("btf,nf->btn", Xre, W, precision=hp)
+    Zim = jnp.einsum("btf,nf->btn", Xim, W, precision=hp)
+    phase = band_phase(Zre, Zim)
+    B, T = Xmag.shape[:2]
+    Qc = jnp.clip(c["Q0"], cfg.q_min, cfg.q_max)
+    Q = jnp.broadcast_to(Qc[None, None], (B, T, cfg.n_bands))
+    return Y, Q, phase
+
+
+# ---------------- binaural frontends ----------------
+
+def dual_frontend_init(key, cfg: BiEARConfig):
+    """Two independent per-ear controllers, leaf-stacked on a leading ear
+    axis of size 2 (fb_L = index 0, fb_R = index 1)."""
+    if cfg.fixed_frontend_q:
+        return {}
+    kL, kR = jax.random.split(key)
+    pL = controller_init(kL, cfg, 2 * cfg.n_bands)
+    pR = controller_init(kR, cfg, 2 * cfg.n_bands)
+    return {"fb": jax.tree.map(lambda a, b: jnp.stack([a, b]), pL, pR)}
+
+
+def dual_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
+    """BinauralAdaptiveGammatoneFB parity (model_torch.py:492-573).
+
+    Returns (YL, YR, QL, QR, phaseL, phaseR), each (B, T, N)."""
+    XmagL, XreL, XimL = spectra(cfg, wavL)
+    XmagR, XreR, XimR = spectra(cfg, wavR)
+    if cfg.fixed_frontend_q:
+        YL, QL, phL = fixed_forward(cfg, XmagL, XreL, XimL)
+        YR, QR, phR = fixed_forward(cfg, XmagR, XreR, XimR)
+        return YL, YR, QL, QR, phL, phR
+
+    Xmag = jnp.stack([XmagL, XmagR])                     # (2, B, T, F)
+    Xre = jnp.stack([XreL, XreR])
+    Xim = jnp.stack([XimL, XimR])
+    if train and rng is not None:
+        rngs = jax.random.split(rng, 2)
+    else:
+        rngs = jnp.zeros((2, 2), jnp.uint32)
+
+    run = functools.partial(adaptive_scan, cfg=cfg, train=train)
+    Y, Q, phase = jax.vmap(
+        lambda p, xm, xr, xi, k: run(p, Xmag=xm, Xre=xr, Xim=xi, rng=k)
+    )(params["fb"], Xmag, Xre, Xim, rngs)
+    return Y[0], Y[1], Q[0], Q[1], phase[0], phase[1]
+
+
+def single_frontend_init(key, cfg: BiEARConfig):
+    if cfg.fixed_frontend_q:
+        return {}
+    return {"ctrl": controller_init(key, cfg, 4 * cfg.n_bands)}
+
+
+def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
+    """One shared controller drives the same Q for both ears.
+
+    Parity: BinauralAdaptiveGammatoneFB_SingleController
+    (model_torch.py:579-776), including the PERSISTENT beta=0.8 EMA
+    memories updated after the controller step."""
+    XmagL, XreL, XimL = spectra(cfg, wavL)
+    XmagR, XreR, XimR = spectra(cfg, wavR)
+    if cfg.fixed_frontend_q:
+        YL, QL, phL = fixed_forward(cfg, XmagL, XreL, XimL)
+        YR, QR, phR = fixed_forward(cfg, XmagR, XreR, XimR)
+        return YL, YR, QL, QR, phL, phR
+
+    c = frontend_constants(cfg)
+    p_ctrl = params["ctrl"]
+    B = wavL.shape[0]
+    T = cfg.timesteps
+    beta = 0.8
+    Q_init = jnp.broadcast_to(c["Q0"][None], (B, cfg.n_bands))
+    carry0 = (Q_init,
+              jnp.zeros((B, cfg.ctrl_hidden), XmagL.dtype),
+              jnp.zeros((B, cfg.n_bands), XmagL.dtype),
+              jnp.zeros((B, cfg.n_bands), XmagL.dtype))
+
+    if train and rng is not None:
+        step_keys = jax.random.split(rng, T)
+    else:
+        step_keys = jnp.zeros((T, 2), jnp.uint32)
+
+    def step(carry, xs):
+        Q, h, memL, memR = carry
+        xmL, xrL, xiL, xmR, xrR, xiR, key = xs
+        YL, ZreL, ZimL = filterbank_apply(Q, c["fc"], c["f_fft"], xmL, xrL, xiL)
+        YR, ZreR, ZimR = filterbank_apply(Q, c["fc"], c["f_fft"], xmR, xrR, xiR)
+        out = (YL, YR, Q, band_phase(ZreL, ZimL), band_phase(ZreR, ZimR))
+
+        if cfg.freeze_q:
+            return (Q_init, jnp.zeros_like(h),
+                    jnp.zeros_like(memL), jnp.zeros_like(memR)), out
+
+        YL_ctrl = jnp.log1p(jnp.maximum(YL, 0.0))
+        YR_ctrl = jnp.log1p(jnp.maximum(YR, 0.0))
+        feat = jnp.concatenate([YL_ctrl, memL, YR_ctrl, memR], axis=-1)
+        delta, h = controller_step(p_ctrl, cfg, h, feat, key, train)
+        Qn = _next_q(cfg, c, delta)
+        Qn, h = _finite_reset(Qn, h, c["Q0"][None])
+        memL = beta * memL + (1.0 - beta) * jax.lax.stop_gradient(YL_ctrl)
+        memR = beta * memR + (1.0 - beta) * jax.lax.stop_gradient(YR_ctrl)
+        return (Qn, h, memL, memR), out
+
+    sw = lambda a: jnp.swapaxes(a, 0, 1)
+    xs = (sw(XmagL), sw(XreL), sw(XimL), sw(XmagR), sw(XreR), sw(XimR), step_keys)
+    _, (YL, YR, Q, phL, phR) = jax.lax.scan(step, carry0, xs)
+    return sw(YL), sw(YR), sw(Q), sw(Q), sw(phL), sw(phR)
+
+
+# ---------------- AuralNet fixed FB (no phase, vectorised) ----------------
+
+def auralnet_fb(cfg: BiEARConfig, wav):
+    """AuralNetGammatoneFB parity (model_torch.py:161-195): magnitude-only
+    fixed filterbank, fully vectorised over T."""
+    c = frontend_constants(cfg)
+    Xmag, _, _ = spectra(cfg, wav)
+    Y = jnp.einsum("btf,nf->btn", Xmag, c["W_fixed"],
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.nan_to_num(Y, nan=0.0, posinf=0.0, neginf=0.0)
