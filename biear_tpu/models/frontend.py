@@ -43,23 +43,39 @@ from . import layers as L
 
 @functools.lru_cache(maxsize=None)
 def frontend_constants(cfg: BiEARConfig):
+    """Static per-config constants, ALL kept as numpy arrays.
+
+    This function may first be hit inside a jit trace (spectra calls it),
+    and in that context any jnp op yields a tracer — which an lru_cache
+    must never capture. Numpy constants are lifted per-trace by the jnp ops
+    that consume them, which is both safe and free.
+    """
+    import numpy as np
+
     fc, Q0 = erb_spaced_fc_and_q(cfg.n_bands, cfg.fmin, cfg.fmax_eff,
                                  erb_factor=1.019)
     deltaQ_vec = make_deltaQ_profile(fc, cfg.deltaQ_base,
                                      cfg.deltaQ_low_factor,
                                      cfg.deltaQ_high_factor)
     win, hop = frame_params(cfg.fs, cfg.timesteps, cfg.hop_ratio)
+    f_fft = np.linspace(0.0, cfg.f_nyq, cfg.n_freq).astype(np.float32)
+
+    # Fixed-Q filterbank matrix, numpy mirror of ops.filterbank numerics.
+    Qc = np.clip(Q0, cfg.q_min, cfg.q_max)
+    bw = (fc / (Qc + 1e-8))[:, None] + 1e-8
+    W = np.exp(-0.5 * ((f_fft[None, :] - fc[:, None]) / bw) ** 2)
+    W = W / (W.sum(-1, keepdims=True) + 1e-8)
+    W_fixed = np.nan_to_num(W).astype(np.float32)
+
     return {
         "fc": fc,
         "Q0": Q0,
         "deltaQ_vec": deltaQ_vec,
-        "f_fft": jnp.linspace(0.0, cfg.f_nyq, cfg.n_freq),
+        "f_fft": f_fft,
         "win": win,
         "hop": hop,
         "window": hann_window_periodic(win),
-        "W_fixed": fixed_filterbank_matrix(Q0, fc,
-                                           jnp.linspace(0.0, cfg.f_nyq, cfg.n_freq),
-                                           cfg.q_min, cfg.q_max),
+        "W_fixed": W_fixed,
     }
 
 

@@ -41,7 +41,10 @@ def erb_spaced_fc_and_q(N: int = 100, fmin: float = 50.0, fmax: float = 7200.0,
     These are static model constants, so the grid is constructed in numpy
     float64 (like the reference) and cast to float32 once.
 
-    Returns (fc, Q0), both (N,) float32 jnp arrays.
+    Returns (fc, Q0), both (N,) float32 NUMPY arrays. Static constants stay
+    numpy on purpose: jnp ops lift them per-trace, whereas materialising
+    them with jnp at trace time would create (and potentially cache) leaked
+    tracers.
     """
     import numpy as np
     Emin = 21.4 * np.log10(4.37 * fmin / 1000.0 + 1.0)
@@ -50,7 +53,7 @@ def erb_spaced_fc_and_q(N: int = 100, fmin: float = 50.0, fmax: float = 7200.0,
     fc = (10.0 ** (E / 21.4) - 1.0) * 1000.0 / 4.37
     bw = erb_factor * (24.7 * (4.37 * fc / 1000.0 + 1.0))
     Q0 = fc / bw
-    return jnp.asarray(fc, jnp.float32), jnp.asarray(Q0, jnp.float32)
+    return fc.astype(np.float32), Q0.astype(np.float32)
 
 
 def make_deltaQ_profile(fc_hz, deltaQ_base: float = 2.0,
@@ -70,7 +73,7 @@ def make_deltaQ_profile(fc_hz, deltaQ_base: float = 2.0,
     E = (E - E.min()) / (E.max() - E.min() + 1e-12)
     mult = low_factor + (high_factor - low_factor) * E
     deltaQ_vec = deltaQ_base * mult
-    return jnp.asarray(np.clip(deltaQ_vec, 1e-3, None), jnp.float32)
+    return np.clip(deltaQ_vec, 1e-3, None).astype(np.float32)
 
 
 # --- The offline feature library uses a second ERB parameterisation ---

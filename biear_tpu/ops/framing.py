@@ -20,13 +20,14 @@ def _hann_cache(win: int):
     return np.asarray(0.5 * (1.0 - np.cos(2.0 * np.pi * n / win)), dtype=np.float32)
 
 
-def hann_window_periodic(win: int) -> jnp.ndarray:
+def hann_window_periodic(win: int):
     """Periodic Hann window, matching torch.hann_window(win) (periodic=True).
 
     Note numpy.hanning is the *symmetric* variant (denominator win-1); the
     reference uses torch's periodic default, so we build it explicitly.
-    """
-    return jnp.asarray(_hann_cache(win))
+    Returns a numpy array (a static constant — safe to cache across traces;
+    jnp consumers lift it per-trace)."""
+    return _hann_cache(win)
 
 
 def frame_params(fs: int, timesteps: int, hop_ratio: float = 1.0):

@@ -1,0 +1,143 @@
+"""Jitted train / eval steps with masked nonfinite handling.
+
+The reference's robustness logic (train_biear.py:508-568) is host-driven:
+``if not torch.isfinite(loss): continue`` and a post-clip python scan over
+all grads. Under jit there is no data-dependent python control flow, so the
+TPU-native equivalent is a masked update: the step always runs, and a
+single on-device ``ok`` predicate (loss finite AND every gradient leaf
+finite) selects between the updated and the previous (params, opt_state).
+Semantics match the reference exactly — a "skipped" batch leaves both the
+parameters and the Adam moments untouched and increments a skip counter —
+without a single host sync.
+
+Gradient-norm telemetry (frontend/backend global norms, nonfinite flags;
+train_biear.py:189-224) is computed in the same jit for free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import active_forward, passive_forward, auralnet_forward
+from ..models.frontend import frontend_constants
+from .losses import task_loss, q_regularizers, sanitize_x3, sanitize_wav
+from .optim import TrainHyper
+
+
+def is_better_tuple(curr, best, eps: float = 1e-12):
+    """Lexicographic (sound_acc up, aoa_mae down, dist_acc up) checkpoint
+    selection (train_biear.py:315-328)."""
+    if best is None:
+        return True
+    cs, ca, cd = curr
+    bs, ba, bd = best
+    if cs > bs + eps:
+        return True
+    if abs(cs - bs) <= eps:
+        if ca < ba - eps:
+            return True
+        if abs(ca - ba) <= eps and cd > bd + eps:
+            return True
+    return False
+
+
+def _tree_finite(tree):
+    leaves = [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(tree)]
+    return functools.reduce(jnp.logical_and, leaves, jnp.bool_(True))
+
+
+def _group_norms(grads):
+    """Global grad norms split frontend (bifb) / backend, plus nonfinite
+    flags — the telemetry of train_biear.py:189-204."""
+    fb = grads.get("bifb", {})
+    be = {k: v for k, v in grads.items() if k != "bifb"}
+
+    def norm(tree):
+        leaves = jax.tree.leaves(tree)
+        if not leaves:
+            return jnp.float32(0.0)
+        return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                            for x in leaves))
+
+    return {
+        "grad_fb_norm": norm(fb),
+        "grad_backend_norm": norm(be),
+        "grad_fb_finite": _tree_finite(fb).astype(jnp.float32),
+        "grad_backend_finite": _tree_finite(be).astype(jnp.float32),
+    }
+
+
+def _active_loss(params, cfg, hp: TrainHyper, batch, rng, train, model: str):
+    wavL, wavR, x3, y = batch
+    wavL, wavR = sanitize_wav(wavL, wavR)
+    x3 = sanitize_x3(x3)
+    fwd = auralnet_forward if model == "auralnet" else active_forward
+    s, a, d, aux = fwd(params, cfg, wavL, wavR, x3, rng=rng, train=train)
+    loss, metrics = task_loss(s, a, d, y.astype(jnp.float32),
+                              hp.loss_w_sound, hp.loss_w_aoa, hp.loss_w_dist,
+                              cfg.n_dist_class)
+    if aux.get("Q") is not None:
+        Q0 = frontend_constants(cfg)["Q0"]
+        loss = loss + q_regularizers(aux["Q"], Q0, hp.reg_q_w, hp.reg_smooth_w)
+        metrics["loss"] = loss
+    return loss, metrics
+
+
+def _passive_loss(params, cfg, hp: TrainHyper, batch, rng, train):
+    x1, x2, x3, x4, x5, y = (b.astype(jnp.float32) for b in batch)
+    s, a, d, _ = passive_forward(params, cfg, x1, x2, x3, x4, x5,
+                                 rng=rng, train=train)
+    return task_loss(s, a, d, y, hp.loss_w_sound, hp.loss_w_aoa,
+                     hp.loss_w_dist, cfg.n_dist_class)
+
+
+def _loss_fn(model: str):
+    if model == "passive":
+        return _passive_loss
+    return functools.partial(_active_loss, model=model)
+
+
+def make_train_step(cfg, hp: TrainHyper, optimizer, model: str = "active"):
+    """model: 'active' | 'passive' | 'auralnet'. Returns a jitted
+    (params, opt_state, batch, rng, lr_scale) -> (params, opt_state, metrics).
+    """
+    loss_impl = _loss_fn(model)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng, lr_scale):
+        def lf(p):
+            return loss_impl(p, cfg, hp, batch, rng, True)
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
+
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
+        new_params = optax.apply_updates(params, updates)
+
+        ok = jnp.logical_and(jnp.isfinite(loss), _tree_finite(grads))
+        sel = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new, old)
+        params_out = sel(new_params, params)
+        opt_state_out = sel(new_opt_state, opt_state)
+
+        metrics = dict(metrics)
+        metrics.update(_group_norms(grads))
+        metrics["skipped"] = (1.0 - ok.astype(jnp.float32))
+        return params_out, opt_state_out, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg, hp: TrainHyper, model: str = "active"):
+    loss_impl = _loss_fn(model)
+
+    @jax.jit
+    def eval_step(params, batch):
+        _, metrics = loss_impl(params, cfg, hp, batch, None, False)
+        return metrics
+
+    return eval_step
