@@ -1,0 +1,187 @@
+"""On-device binaural data synthesis.
+
+North-star feature (BASELINE.json): the reference synthesises training
+data OFFLINE with a serial scipy loop — 72k samples of per-source
+fftconvolve + mixing on one CPU (generate_anechoic_data.py:154-233,
+SURVEY.md §3.3). Here the whole sampler is a jitted, vmapped program:
+HRIR convolution runs as batched rFFT products on the accelerator, so
+"active" training can consume freshly synthesised raw waveforms every
+step with no H5 precompute stage.
+
+Scene parity (anechoic, generate_anechoic_data.py):
+  * n_src ~ Uniform{1,2,3} (or forced, for the 1/3-1/3-1/3 test splits);
+  * each source occupies a distinct 45-degree sector; the measurement is
+    drawn uniformly within the sector's HRIR set;
+  * a random 1 s speech segment is convolved with the measurement's HRIR
+    pair, a random 1 s window of the convolution is cropped, sources sum;
+  * joint peak-normalisation to +-1; labels = per-sector
+    [presence, in-sector normalised AoA, distance class].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.xcorr import cross_correlation_feature
+from .labels import DIST_CLASSES, N_SECTORS, N_DIST_CLASSES
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class AnechoicSynthesizer:
+    """Batched on-device sampler over an HRIR bank + speech segment pool.
+
+    ir:        (M, 2, L) float32 HRIR bank (already at `fs`)
+    az_deg:    (M,) source azimuths in [0, 360)
+    dist_m:    (M,) source distances (metres)
+    segments:  (P, seg_len >= fs) float32 pool of clean speech
+    """
+
+    def __init__(self, ir, az_deg, dist_m, segments, fs: int = 16000,
+                 max_sources: int = 3, n_sectors: int = N_SECTORS):
+        ir = np.asarray(ir, np.float32)
+        az = np.asarray(az_deg, np.float64) % 360.0
+        dist = np.asarray(dist_m, np.float64)
+        self.fs = int(fs)
+        self.max_sources = int(max_sources)
+        self.n_sectors = int(n_sectors)
+        M, _, L = ir.shape
+        self.ir_len = L
+
+        # Per-sector measurement tables (host-precomputed, padded square).
+        width = 360.0 / n_sectors
+        sec_of = np.floor(az / width).astype(np.int64) % n_sectors
+        groups = [np.nonzero(sec_of == s)[0] for s in range(n_sectors)]
+        for s, g in enumerate(groups):
+            if len(g) == 0:
+                raise ValueError(f"no HRIR measurements in sector {s}")
+        kmax = max(len(g) for g in groups)
+        table = np.stack([np.pad(g, (0, kmax - len(g)), mode="edge")
+                          for g in groups])
+        self._sector_table = jnp.asarray(table, jnp.int32)       # (S, kmax)
+        self._sector_counts = jnp.asarray(
+            [len(g) for g in groups], jnp.int32)
+
+        # Per-measurement labels (generate_anechoic_data.py:111-128).
+        in_sector = az - sec_of * width
+        norm = np.minimum((in_sector + 1e-3) / width, 1.0)
+        dcls = np.argmin(np.abs(DIST_CLASSES[None, :] - dist[:, None]), axis=1)
+        self._meas_sector = jnp.asarray(sec_of, jnp.int32)
+        self._meas_norm = jnp.asarray(norm, jnp.float32)
+        self._meas_dcls = jnp.asarray(dcls, jnp.int32)
+
+        # HRIR spectra precomputed once: (M, 2, F) complex.
+        self._fft_len = _next_pow2(self.fs + L - 1)
+        self._H = jnp.fft.rfft(jnp.asarray(ir), n=self._fft_len)
+        self._segments = jnp.asarray(np.asarray(segments, np.float32))
+        self._seg_len = self._segments.shape[1]
+        if self._seg_len < self.fs:
+            raise ValueError("segments must be at least 1 s long")
+
+    # ---------------- single-sample program (vmapped) ----------------
+
+    def _one(self, key, n_src_fixed: int):
+        fs, S, MS = self.fs, self.n_sectors, self.max_sources
+        ks = jax.random.split(key, 6)
+
+        if n_src_fixed > 0:
+            n_src = jnp.int32(n_src_fixed)
+        else:
+            n_src = jax.random.randint(ks[0], (), 1, MS + 1)
+        active = (jnp.arange(MS) < n_src)                        # (MS,)
+
+        sectors = jax.random.permutation(ks[1], S)[:MS]          # distinct
+        kq = jax.random.randint(ks[2], (MS,), 0, 2 ** 30)
+        kslot = kq % self._sector_counts[sectors]
+        meas = self._sector_table[sectors, kslot]                # (MS,)
+
+        seg_idx = jax.random.randint(ks[3], (MS,), 0, self._segments.shape[0])
+        seg_off = jax.random.randint(ks[4], (MS,), 0,
+                                     self._seg_len - fs + 1)
+        crop = jax.random.randint(ks[5], (MS,), 0, self.ir_len)  # [0, L-1]
+
+        def one_source(m, sidx, soff, c):
+            seg = jax.lax.dynamic_slice(self._segments[sidx], (soff,), (fs,))
+            X = jnp.fft.rfft(seg, n=self._fft_len)               # (F,)
+            y_full = jnp.fft.irfft(X[None, :] * self._H[m], n=self._fft_len)
+            return jax.lax.dynamic_slice(y_full, (0, c), (2, fs))
+
+        src = jax.vmap(one_source)(meas, seg_idx, seg_off, crop)  # (MS, 2, fs)
+        y_lr = jnp.sum(src * active[:, None, None], axis=0)       # (2, fs)
+        peak = jnp.maximum(jnp.max(jnp.abs(y_lr)), 1e-8)
+        y_lr = y_lr / peak
+
+        # ---- label vector (sectors are distinct, so scatter is exact) ----
+        maskf = active.astype(jnp.float32)
+        sound = jnp.zeros(S).at[sectors].set(maskf)
+        angle = jnp.zeros(S).at[sectors].set(self._meas_norm[meas] * maskf)
+        base = jnp.zeros((S, N_DIST_CLASSES)).at[:, 0].set(1.0)
+        rows = jax.nn.one_hot(
+            jnp.where(active, self._meas_dcls[meas] + 1, 0), N_DIST_CLASSES)
+        onehot = base.at[sectors].set(rows)
+        y = jnp.concatenate(
+            [sound[:, None], angle[:, None], onehot], axis=1).reshape(-1)
+        return y_lr[0], y_lr[1], y
+
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
+    def _batch(self, key, batch_size: int, n_src_fixed: int):
+        keys = jax.random.split(key, batch_size)
+        wavL, wavR, y = jax.vmap(lambda k: self._one(k, n_src_fixed))(keys)
+        x3 = cross_correlation_feature(wavL, wavR, self.fs)
+        return wavL, wavR, x3, y
+
+    def sample_batch(self, key, batch_size: int, n_src: int | None = None):
+        """(wavL, wavR, x3, y) with shapes (B, fs) x2, (B, 100), (B, 56).
+
+        n_src=None -> Uniform{1..max_sources} per sample (train/val);
+        n_src=k    -> forced source count (test-split construction)."""
+        return self._batch(key, batch_size, 0 if n_src is None else int(n_src))
+
+
+# ---------------- fixtures for tests / benchmarks ----------------
+
+def make_test_hrir_bank(m_per_sector: int = 4, ir_len: int = 256,
+                        seed: int = 0, fs: int = 16000):
+    """A synthetic-but-plausible HRIR bank: per-azimuth interaural delay
+    (up to ~0.7 ms) and level difference, exponentially decaying tails.
+    Lets every synthesis/physics test run without the TU-Berlin SOFA
+    files."""
+    rng = np.random.default_rng(seed)
+    M = 8 * m_per_sector
+    az = (np.arange(M) + 0.5) * (360.0 / M)
+    dist = DIST_CLASSES[np.arange(M) % 4]
+    ir = np.zeros((M, 2, ir_len), np.float32)
+    for m in range(M):
+        theta = np.deg2rad(az[m])
+        itd = 0.0007 * np.sin(theta)                 # seconds, +: right later
+        base_delay = 8
+        dl = base_delay + max(0, int(round(-itd * fs)))
+        dr = base_delay + max(0, int(round(itd * fs)))
+        gl = 1.0 + 0.4 * np.sin(theta)
+        gr = 1.0 - 0.4 * np.sin(theta)
+        tail = np.exp(-np.arange(24) / 4.0)
+        ir[m, 0, dl:dl + 24] = gl * tail * rng.uniform(0.7, 1.0, 24)
+        ir[m, 1, dr:dr + 24] = gr * tail * rng.uniform(0.7, 1.0, 24)
+    return ir, az, dist
+
+
+def make_test_segments(n: int = 16, seg_len: int = 16000, seed: int = 1):
+    """Speech-ish pool: modulated noise, peak-normalised."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(seg_len) / 16000.0
+    segs = []
+    for i in range(n):
+        env = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(2, 6) * t
+                                + rng.uniform(0, 6)))
+        x = env * rng.standard_normal(seg_len)
+        segs.append((x / (np.abs(x).max() + 1e-8)).astype(np.float32))
+    return np.stack(segs)

@@ -8,12 +8,21 @@ Environment must be set before the first jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness presets JAX_PLATFORMS=axon and a sitecustomize.py imports jax
+# at interpreter startup, so env vars set here are too late for the import-
+# time snapshot. Set them anyway (XLA reads XLA_FLAGS at backend init,
+# which is still lazy), then override the platform through jax.config
+# before any computation runs.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

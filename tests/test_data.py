@@ -1,0 +1,210 @@
+"""Data layer tests: label packing parity, H5 round-trips, pipeline,
+and physics checks on the on-device synthesizer."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from biear_tpu.data import (
+    pack_label, build_label_from_npz_dict, aoa_to_sector_label,
+    save_active_h5, save_passive_h5, load_arrays_from_h5,
+    ActiveH5Dataset, PassiveH5Dataset, batch_iterator, Prefetcher,
+    AnechoicSynthesizer, make_test_hrir_bank, make_test_segments,
+)
+from biear_tpu.train import unpack_targets
+
+
+# ---------- labels ----------
+
+def np_oracle_label(d):
+    """Independent oracle re-deriving data_save.py:75-119."""
+    y = []
+    sound = np.zeros(8); angle = np.zeros(8)
+    oh = np.zeros((8, 5)); oh[:, 0] = 1
+    for k in range(int(d["num_sources"])):
+        sid = int(d["sector_id"][k])
+        sound[sid] = 1; angle[sid] = d["sector_angle_norm"][k]
+        oh[sid] = 0; oh[sid, int(d["distance_class"][k]) + 1] = 1
+    for s in range(8):
+        y += [sound[s], angle[s], *oh[s]]
+    return np.array(y, np.float32)
+
+
+def test_label_packing_matches_oracle(rng):
+    for _ in range(10):
+        n = rng.integers(1, 4)
+        d = {
+            "num_sources": n,
+            "sector_id": rng.choice(8, n, replace=False),
+            "sector_angle_norm": rng.uniform(0, 1, n).astype(np.float32),
+            "distance_class": rng.integers(0, 4, n),
+        }
+        np.testing.assert_array_equal(build_label_from_npz_dict(d),
+                                      np_oracle_label(d))
+
+
+def test_label_roundtrip_through_unpack(rng):
+    d = {"num_sources": 2, "sector_id": [1, 6],
+         "sector_angle_norm": [0.25, 0.75], "distance_class": [0, 3]}
+    y = build_label_from_npz_dict(d)[None]
+    ys, ya, yd = unpack_targets(jnp.asarray(y))
+    assert np.asarray(ys)[0].tolist() == [0, 1, 0, 0, 0, 0, 1, 0]
+    assert float(ya[0, 1]) == pytest.approx(0.25)
+    assert int(jnp.argmax(yd[0, 1])) == 1   # class 0 -> one-hot index 1
+    assert int(jnp.argmax(yd[0, 6])) == 4   # class 3 -> one-hot index 4
+    assert int(jnp.argmax(yd[0, 0])) == 0   # empty sector -> no-source
+
+
+def test_aoa_to_sector_label_edges():
+    assert aoa_to_sector_label(0.0) == (0, pytest.approx(1e-3 / 45))
+    sid, norm = aoa_to_sector_label(44.999)
+    assert sid == 0 and norm == pytest.approx(1.0, abs=1e-3)
+    assert aoa_to_sector_label(359.0)[0] == 7
+    assert aoa_to_sector_label(405.0)[0] == 1  # wraps
+
+
+# ---------- h5 ----------
+
+def test_active_h5_roundtrip(tmp_path, rng):
+    N = 20
+    x1 = rng.standard_normal((N, 1600)).astype(np.float32)
+    x2 = rng.standard_normal((N, 1600)).astype(np.float32)
+    x3 = rng.standard_normal((N, 100)).astype(np.float32)
+    y = rng.standard_normal((N, 56)).astype(np.float32)
+    p = str(tmp_path / "a.h5")
+    save_active_h5(p, x1, x2, x3, y)
+    back = load_arrays_from_h5(p)
+    assert len(back) == 4
+    np.testing.assert_array_equal(back[0], x1)
+
+    for preload in (True, False):
+        ds = ActiveH5Dataset(p, preload=preload)
+        assert len(ds) == N
+        rows = ds.rows(np.array([5, 2, 5]))
+        np.testing.assert_array_equal(rows[0], x1[[5, 2, 5]])
+        np.testing.assert_array_equal(rows[3], y[[5, 2, 5]])
+        ds.close()
+
+
+def test_passive_h5_roundtrip_and_schema_check(tmp_path, rng):
+    N = 8
+    arrs = [rng.standard_normal(s).astype(np.float32) for s in
+            [(N, 19, 100), (N, 19, 100), (N, 100), (N, 19, 100),
+             (N, 19, 100), (N, 56)]]
+    p = str(tmp_path / "p.h5")
+    save_passive_h5(p, *arrs)
+    ds = PassiveH5Dataset(p)
+    got = ds.rows(np.arange(3))
+    for g, a in zip(got, arrs):
+        np.testing.assert_array_equal(g, a[:3])
+    # active reader over passive file works (keys are a superset)
+    ActiveH5Dataset(p)
+    # passive reader over active file must fail loudly
+    save_active_h5(str(tmp_path / "a.h5"), arrs[0], arrs[1], arrs[2], arrs[5])
+    with pytest.raises(KeyError):
+        PassiveH5Dataset(str(tmp_path / "a.h5"))
+
+
+def test_batch_iterator_and_prefetcher(tmp_path, rng):
+    N = 13
+    x1 = np.arange(N, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)
+    p = str(tmp_path / "b.h5")
+    save_active_h5(p, x1, x1, x1, x1)
+    ds = ActiveH5Dataset(p)
+
+    seen = []
+    for batch in batch_iterator(ds, 4, shuffle=True, seed=1, epoch=0):
+        seen += batch[0][:, 0].tolist()
+    assert sorted(seen) == list(range(N))         # full cover, shuffled
+    e0 = [b[0][:, 0].tolist() for b in batch_iterator(ds, 4, shuffle=True,
+                                                      seed=1, epoch=0)]
+    e1 = [b[0][:, 0].tolist() for b in batch_iterator(ds, 4, shuffle=True,
+                                                      seed=1, epoch=1)]
+    assert e0 != e1                               # new permutation per epoch
+
+    # host sharding covers disjointly
+    a = [v for b in batch_iterator(ds, 4, shuffle=False, host_id=0,
+                                   host_count=2) for v in b[0][:, 0]]
+    b_ = [v for b in batch_iterator(ds, 4, shuffle=False, host_id=1,
+                                    host_count=2) for v in b[0][:, 0]]
+    assert sorted(a + b_) == list(range(N)) and not (set(a) & set(b_))
+
+    # prefetcher preserves order and contents
+    got = [b[0][:, 0].tolist() for b in
+           Prefetcher(batch_iterator(ds, 4, shuffle=False))]
+    want = [b[0][:, 0].tolist() for b in batch_iterator(ds, 4, shuffle=False)]
+    assert got == want
+
+
+# ---------- on-device synthesis ----------
+
+@pytest.fixture(scope="module")
+def synth():
+    ir, az, dist = make_test_hrir_bank()
+    segs = make_test_segments(8)
+    return AnechoicSynthesizer(ir, az, dist, segs)
+
+
+def test_synth_shapes_and_ranges(synth):
+    wavL, wavR, x3, y = synth.sample_batch(jax.random.PRNGKey(0), 6)
+    assert wavL.shape == (6, 16000) and x3.shape == (6, 100)
+    assert y.shape == (6, 56)
+    for a in (wavL, wavR, x3, y):
+        assert bool(jnp.all(jnp.isfinite(a)))
+    peaks = np.maximum(np.abs(np.asarray(wavL)).max(1),
+                       np.abs(np.asarray(wavR)).max(1))
+    np.testing.assert_allclose(peaks, 1.0, atol=1e-5)  # joint peak-norm
+
+
+def test_synth_label_structure(synth):
+    _, _, _, y = synth.sample_batch(jax.random.PRNGKey(1), 32)
+    ys, ya, yd = unpack_targets(y)
+    ys, ya, yd = np.asarray(ys), np.asarray(ya), np.asarray(yd)
+    n_src = ys.sum(1)
+    assert set(n_src.astype(int)) <= {1, 2, 3}
+    # one-hot rows sum to 1; empty sectors are class 0; active are 1..4
+    assert np.allclose(yd.sum(-1), 1.0)
+    assert (yd[ys == 0].argmax(-1) == 0).all()
+    assert (yd[ys == 1].argmax(-1) >= 1).all()
+    # active sectors have angle in (0, 1], empty have 0
+    assert (ya[ys == 1] > 0).all() and (ya[ys == 1] <= 1).all()
+    assert (ya[ys == 0] == 0).all()
+
+
+def test_synth_forced_source_count(synth):
+    for k in (1, 2, 3):
+        _, _, _, y = synth.sample_batch(jax.random.PRNGKey(2), 8, n_src=k)
+        ys = np.asarray(unpack_targets(y)[0])
+        assert (ys.sum(1) == k).all()
+
+
+def test_synth_deterministic_per_key(synth):
+    a = synth.sample_batch(jax.random.PRNGKey(3), 4)
+    b = synth.sample_batch(jax.random.PRNGKey(3), 4)
+    for x, z in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
+    c = synth.sample_batch(jax.random.PRNGKey(4), 4)
+    assert float(jnp.abs(a[0] - c[0]).max()) > 0
+
+
+def test_synth_itd_physics(synth):
+    """Single right-hemisphere source (sectors 0-3, az 0..180 deg in this
+    bank's convention, ITD>0 means right ear later) must produce a CC peak
+    lag consistent with the bank's imposed ITD."""
+    wavL, wavR, x3, y = synth.sample_batch(jax.random.PRNGKey(5), 16, n_src=1)
+    ys, ya, _ = (np.asarray(a) for a in unpack_targets(y))
+    lag_grid = np.linspace(-3e-3, 3e-3, 100)
+    checked = 0
+    for b in range(16):
+        sec = int(ys[b].argmax())
+        az = sec * 45 + ya[b, sec] * 45
+        itd = 0.0007 * np.sin(np.deg2rad(az))   # bank construction
+        if abs(itd) < 2e-4:
+            continue
+        peak_lag = lag_grid[int(np.asarray(x3)[b].argmax())]
+        # corr peak at -delay of right relative to left = -itd
+        assert np.sign(peak_lag) == np.sign(-itd) or abs(peak_lag) < 1.3e-4
+        checked += 1
+    assert checked >= 4
