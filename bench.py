@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark: active-mode training throughput (utterances/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": "active_train_utterances_per_sec", "value": N,
+   "unit": "utt/s", "vs_baseline": R}
+
+The metric is full training steps (fwd + bwd + optimizer update, flagship
+dual-controller adaptive-Q model, batch 64) on the default JAX device.
+
+Baseline: the PyTorch reference publishes no numbers (BASELINE.md), so the
+denominator is the reference implementation itself, timed on this host
+(torch, CPU — the only device torch has here) the first time bench runs
+and cached in BENCH_BASELINE.json. vs_baseline = ours / reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
+BATCH = 64
+STEPS = 10
+
+
+def measure_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from biear_tpu.models import BiEARConfig
+    from biear_tpu.models.biear import init_active
+    from biear_tpu.train import TrainHyper, make_optimizer, make_train_step
+
+    cfg = BiEARConfig(controller_mode="dual", deltaQ_mode="relative",
+                      deltaQ_base=1.0, deltaQ_low_factor=0.3,
+                      deltaQ_high_factor=5.0)
+    hp = TrainHyper()
+    params = init_active(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(params, hp)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, hp, opt, "active")
+
+    rng = np.random.default_rng(0)
+    wavL = jnp.asarray(rng.uniform(-1, 1, (BATCH, cfg.fs)).astype(np.float32))
+    wavR = jnp.asarray(rng.uniform(-1, 1, (BATCH, cfg.fs)).astype(np.float32))
+    x3 = jnp.asarray(rng.uniform(-1, 1, (BATCH, 100)).astype(np.float32))
+    y = np.zeros((BATCH, 8, 7), np.float32)
+    y[:, :, 2] = 1.0
+    for b in range(BATCH):
+        s = rng.integers(0, 8)
+        y[b, s, :3] = (1.0, rng.uniform(), 0.0)
+        y[b, s, 3 + rng.integers(0, 4)] = 1.0
+    y = jnp.asarray(y.reshape(BATCH, 56))
+    batch = (wavL, wavR, x3, y)
+
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    key, k = jax.random.split(key)
+    params, opt_state, m = step(params, opt_state, batch, k, jnp.float32(1.0))
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        key, k = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, batch, k,
+                                    jnp.float32(1.0))
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return BATCH * STEPS / dt
+
+
+def measure_reference() -> float | None:
+    """Time the PyTorch reference's train step (fwd+bwd+Adam) on this host.
+
+    Returns utterances/sec, or None if the reference tree is unavailable."""
+    ref_dir = "/root/reference"
+    if not os.path.isdir(ref_dir):
+        return None
+    try:
+        import torch
+        sys.path.insert(0, ref_dir)
+        import model_torch as ref
+
+        torch.manual_seed(0)
+        model = ref.build_model_active(
+            use_cc=True, fixed_frontend_q=False, deltaQ_base=1.0,
+            deltaQ_low_factor=0.3, deltaQ_high_factor=5.0,
+            deltaQ_mode="relative")
+        model.train()
+        device = "cuda" if torch.cuda.is_available() else "cpu"
+        model.to(device)
+        opt = torch.optim.Adam(model.parameters(), lr=1e-4,
+                               weight_decay=1e-5, eps=1e-7)
+        bce = torch.nn.BCEWithLogitsLoss(
+            pos_weight=torch.full((8,), 3.0, device=device))
+        sl1 = torch.nn.SmoothL1Loss(beta=0.02)
+        ce = torch.nn.CrossEntropyLoss()
+
+        g = torch.Generator().manual_seed(0)
+        wavL = torch.rand(BATCH, 16000, generator=g) * 2 - 1
+        wavR = torch.rand(BATCH, 16000, generator=g) * 2 - 1
+        x3 = torch.rand(BATCH, 100, generator=g) * 2 - 1
+        ys = (torch.rand(BATCH, 8, generator=g) < 0.25).float()
+        ya = torch.rand(BATCH, 8, generator=g)
+        yd = torch.randint(0, 5, (BATCH * 8,), generator=g)
+        wavL, wavR, x3 = (t.to(device) for t in (wavL, wavR, x3))
+        ys, ya, yd = ys.to(device), ya.to(device), yd.to(device)
+
+        def one_step():
+            opt.zero_grad(set_to_none=True)
+            s, a, d = model(wavL, wavR, x3)
+            loss = (0.2 * bce(s, ys) + 0.45 * sl1(a, ya)
+                    + 0.35 * ce(d.reshape(-1, 5), yd))
+            loss.backward()
+            opt.step()
+
+        one_step()                                   # warmup
+        n = 2
+        t0 = time.perf_counter()
+        for _ in range(n):
+            one_step()
+        dt = time.perf_counter() - t0
+        return BATCH * n / dt
+    except Exception as e:                           # pragma: no cover
+        print(f"[bench] reference measurement failed: {e}", file=sys.stderr)
+        return None
+    finally:
+        if ref_dir in sys.path:
+            sys.path.remove(ref_dir)
+
+
+def main():
+    ours = measure_ours()
+
+    baseline = None
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            baseline = json.load(f).get("reference_utterances_per_sec")
+    if baseline is None:
+        baseline = measure_reference()
+        if baseline is not None:
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump({
+                    "reference_utterances_per_sec": baseline,
+                    "note": "PyTorch reference train step (fwd+bwd+Adam), "
+                            "batch 64, measured on this host's torch device",
+                }, f, indent=2)
+
+    vs = (ours / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "active_train_utterances_per_sec",
+        "value": round(ours, 2),
+        "unit": "utt/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,8 +12,8 @@ from __future__ import annotations
 import threading
 import queue as queue_mod
 
-import numpy as np
 import jax
+import numpy as np
 
 
 def batch_iterator(ds, batch_size: int, *, shuffle: bool, seed: int = 0,
@@ -39,28 +39,36 @@ def batch_iterator(ds, batch_size: int, *, shuffle: bool, seed: int = 0,
 
 class Prefetcher:
     """Wrap a batch iterator; device_put the next batch on a background
-    thread while the caller consumes the current one."""
+    thread while the caller consumes the current one. Exceptions on the
+    worker propagate to the consumer (a silently-dead loader looks like an
+    empty epoch — the failure mode must be loud)."""
 
     _DONE = object()
 
     def __init__(self, it, sharding=None, depth: int = 2):
         self._q = queue_mod.Queue(maxsize=depth)
         self._sharding = sharding
+        self._shard_div = (dict(sharding.mesh.shape).get("data", 1)
+                           if sharding is not None else 1)
         self._thread = threading.Thread(target=self._run, args=(it,),
                                         daemon=True)
         self._thread.start()
 
+    def _put_batch(self, batch):
+        # A trailing partial batch may not divide the data axis; place it
+        # replicated instead (the jitted step accepts any input layout).
+        if (self._sharding is not None
+                and batch[0].shape[0] % self._shard_div == 0):
+            return tuple(jax.device_put(b, self._sharding) for b in batch)
+        return tuple(jax.device_put(b) for b in batch)
+
     def _run(self, it):
         try:
             for batch in it:
-                if self._sharding is not None:
-                    batch = tuple(jax.device_put(b, self._sharding)
-                                  for b in batch)
-                else:
-                    batch = tuple(jax.device_put(b) for b in batch)
-                self._q.put(batch)
-        finally:
+                self._q.put(self._put_batch(batch))
             self._q.put(self._DONE)
+        except BaseException as e:       # noqa: BLE001 — propagate to consumer
+            self._q.put(e)
 
     def __iter__(self):
         return self
@@ -69,4 +77,6 @@ class Prefetcher:
         item = self._q.get()
         if item is self._DONE:
             raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
         return item

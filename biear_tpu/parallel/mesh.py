@@ -1,0 +1,70 @@
+"""Device mesh + sharding rules.
+
+The reference is single-device (train_biear.py:120); scaling here is
+TPU-native: a ('data', 'model') mesh where
+
+  * the global batch shards over 'data' (pure DP — gradient psum over ICI
+    is inserted by XLA's SPMD partitioner from the shardings alone);
+  * the 'model' axis tensor-shards the widest backend pieces: the body
+    MLP's hidden layers in the Megatron column/row pattern, and the
+    8 leaf-stacked sub-heads over their head axis (head-parallel).
+
+The model is small (~1.65M params), so DP is the throughput axis; the
+model axis exists to keep every subsystem honestly multi-axis and is
+exercised by the driver's dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if data == -1:
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, "
+                         f"have {n}")
+    dev = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(dev, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def param_pspecs(params, model_parallel: bool):
+    """PartitionSpec tree for a model param pytree.
+
+    With model_parallel: sub-heads shard on their stacked head axis; body
+    l1 is column-parallel (out dim), l2 row-parallel (in dim); everything
+    else replicates."""
+
+    def rep(tree):
+        return jax.tree.map(lambda _: P(), tree)
+
+    specs = {k: rep(v) for k, v in params.items()}
+    if not model_parallel:
+        return specs
+    if "subheads" in params:
+        specs["subheads"] = jax.tree.map(
+            lambda a: P(*(("model",) + (None,) * (a.ndim - 1))),
+            params["subheads"])
+    if "body" in params:
+        specs["body"] = {
+            "l1": {"w": P("model", None), "b": P("model")},
+            "l2": {"w": P(None, "model"), "b": P()},
+            "l3": rep(params["body"]["l3"]),
+        }
+    return specs
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put params according to param_pspecs over the mesh."""
+    specs = param_pspecs(params, mesh.shape["model"] > 1)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)

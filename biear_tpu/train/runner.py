@@ -1,0 +1,237 @@
+"""The end-to-end training driver (library form of the reference's
+train_biear.py script).
+
+Orchestration parity: sanity batch, epoch loop with train/val, plateau
+schedule on val loss, lexicographic best-tuple checkpointing, last/epoch
+checkpoints, history.json, final test pass -> test_metrics.json, all under
+the standard run-dir tree. TPU-native mechanics: one jitted train step over
+a ('data','model') mesh, background device prefetch, on-device metric
+accumulation, optional on-device synthesis replacing the H5 train split.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (RunConfig, make_exp_name, make_run_dirs, settings_dict,
+                      h5_paths)
+from ..models.biear import init_active, init_passive
+from ..models.auralnet import init_auralnet
+from ..parallel.mesh import make_mesh, batch_sharding, shard_params
+from ..data.h5io import ActiveH5Dataset, PassiveH5Dataset
+from ..data.pipeline import batch_iterator, Prefetcher
+from ..utils.logging import MetricLogger
+from .loop import make_train_step, make_eval_step, is_better_tuple
+from .optim import make_optimizer, PlateauScheduler
+from . import state as ckpt
+
+
+def _init_params(rc: RunConfig, key):
+    if rc.model_kind == "auralnet":
+        return init_auralnet(key, rc.model_cfg)
+    if rc.model_kind == "passive":
+        return init_passive(key, rc.model_cfg)
+    return init_active(key, rc.model_cfg)
+
+
+def _open_datasets(rc: RunConfig):
+    paths = h5_paths(rc)
+    DS = ActiveH5Dataset if rc.active else PassiveH5Dataset
+    return {k: DS(v, preload=rc.preload_h5) for k, v in paths.items()}
+
+
+class _SynthSource:
+    """Adapter: on-device synthesizer -> epoch iterator of train batches."""
+
+    def __init__(self, synth, steps_per_epoch: int, batch_size: int, seed: int):
+        self.synth = synth
+        self.steps = steps_per_epoch
+        self.bs = batch_size
+        self.seed = seed
+
+    def epoch(self, epoch_idx: int):
+        key = jax.random.PRNGKey(self.seed + epoch_idx)
+        for i in range(self.steps):
+            key, k = jax.random.split(key)
+            yield self.synth.sample_batch(k, self.bs)
+
+
+def _accumulate(sums, metrics, bs):
+    for k in ("loss", "sound_acc", "aoa_mae", "dist_acc"):
+        sums[k] = sums.get(k, 0.0) + float(metrics[k]) * bs
+    sums["skipped"] = sums.get("skipped", 0) + int(float(metrics.get("skipped", 0)))
+    sums["_n"] = sums.get("_n", 0) + bs
+    return sums
+
+
+def _finalize(sums):
+    n = max(sums.pop("_n", 0), 1)
+    skipped = sums.pop("skipped", 0)
+    out = {k: v / n for k, v in sums.items()}
+    out["skipped"] = skipped
+    return out
+
+
+def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
+          run_id: str | None = None, quiet: bool = False,
+          max_steps_per_epoch: int | None = None) -> dict:
+    """Run the full training job; returns a summary dict with run paths,
+    history and test metrics.
+
+    datasets: optional {"train","val","test"} dataset objects (tests inject
+    tiny ones); otherwise opened from the H5 path convention.
+    synth: optional AnechoicSynthesizer replacing the train split
+    (rc.synth_on_device path).
+    """
+    say = (lambda *a: None) if quiet else print
+
+    exp_name, run_id = make_exp_name(rc, run_id)
+    dirs = make_run_dirs(rc, exp_name)
+    with open(os.path.join(dirs["meta"], "settings.json"), "w") as f:
+        json.dump(settings_dict(rc, run_id, exp_name), f, indent=2)
+    logger = MetricLogger(dirs["logs_json"], dirs["tb"])
+    say(f"[Run dir] {dirs['run']}")
+
+    import math
+    n_dev = len(jax.devices())
+    data_axis = rc.mesh_data if rc.mesh_data != -1 else max(
+        n_dev // rc.mesh_model, 1)
+    # The data axis must divide the global batch; shrink to the gcd so tiny
+    # batches still run (replicated) instead of failing to shard.
+    data_axis = math.gcd(rc.batch_size, data_axis)
+    mesh = make_mesh(data_axis, rc.mesh_model)
+    bsh = batch_sharding(mesh)
+    say(f"[Mesh] {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s)")
+
+    key = jax.random.PRNGKey(seed)
+    key, k_init = jax.random.split(key)
+    params = _init_params(rc, k_init)
+    params = shard_params(params, mesh)
+
+    optimizer = make_optimizer(params, rc.hyper,
+                               freeze_controller=(rc.active
+                                                  and rc.freeze_q_controller_only
+                                                  and not rc.fixed_frontend_q))
+    opt_state = optimizer.init(params)
+    model_kind = rc.model_kind if rc.active else "passive"
+    train_step = make_train_step(rc.model_cfg, rc.hyper, optimizer, model_kind)
+    eval_step = make_eval_step(rc.model_cfg, rc.hyper, model_kind)
+    sched = PlateauScheduler(factor=0.5, patience=10)
+
+    if datasets is None and (synth is None or not rc.synth_on_device):
+        datasets = _open_datasets(rc)
+
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    say(f"[Params] total={n_params:,}")
+
+    # ---- sanity batch (train_biear.py:276-304) ----
+    def first_batch():
+        if synth is not None and rc.synth_on_device:
+            return synth.sample_batch(jax.random.PRNGKey(0), rc.batch_size)
+        it = batch_iterator(datasets["train"], rc.batch_size, shuffle=False)
+        return tuple(jnp.asarray(b) for b in next(it))
+
+    sb = first_batch()
+    m = eval_step(params, sb)
+    if not np.isfinite(float(m["loss"])):
+        raise RuntimeError(f"[Sanity] nonfinite loss on first batch: {m}")
+    say(f"[Sanity] first-batch loss={float(m['loss']):.4f} (finite)")
+
+    history = {"train": [], "val": []}
+    best_tuple = None
+    global_step = 0
+    lr_scale = 1.0
+
+    def run_split(name, epoch, training):
+        nonlocal params, opt_state, global_step, key
+        sums = {}
+        if training and synth is not None and rc.synth_on_device:
+            it = _SynthSource(synth,
+                              max_steps_per_epoch or 128,
+                              rc.batch_size, seed).epoch(epoch)
+        else:
+            it = Prefetcher(batch_iterator(
+                datasets[name], rc.batch_size, shuffle=training,
+                seed=seed, epoch=epoch), sharding=bsh)
+        t0 = time.time()
+        for i, batch in enumerate(it):
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                break
+            batch = tuple(jnp.asarray(b) for b in batch)
+            bs = int(batch[0].shape[0])
+            if training:
+                key, k = jax.random.split(key)
+                params, opt_state, m = train_step(params, opt_state, batch,
+                                                  k, jnp.float32(lr_scale))
+                if global_step % rc.hist_every == 0:
+                    logger.scalars("train_step", {
+                        k2: m[k2] for k2 in
+                        ("loss", "sound_acc", "aoa_mae", "dist_acc",
+                         "grad_fb_norm", "grad_backend_norm")}, global_step)
+                if global_step % rc.print_every == 0:
+                    say(f"[step {global_step:06d}] loss={float(m['loss']):.4f}"
+                        f" | sound_acc={float(m['sound_acc']):.3f}"
+                        f" | aoa_mae={float(m['aoa_mae']):.3f}"
+                        f" | dist_acc={float(m['dist_acc']):.3f}")
+                global_step += 1
+            else:
+                m = eval_step(params, batch)
+            sums = _accumulate(sums, m, bs)
+        out = _finalize(sums)
+        out["sec"] = time.time() - t0
+        n = sums.get("_n", 0)
+        logger.scalars(name, {k: v for k, v in out.items() if k != "sec"},
+                       epoch)
+        return out
+
+    for e in range(1, rc.epochs + 1):
+        tr = run_split("train", e, True)
+        va = run_split("val", e, False)
+        history["train"].append(tr)
+        history["val"].append(va)
+        say(f"[{e:03d}] train_loss={tr['loss']:.4f} (skip={tr['skipped']}), "
+            f"val_loss={va['loss']:.4f}, val_sound_acc={va['sound_acc']:.3f}, "
+            f"val_aoa_mae={va['aoa_mae']:.3f}, "
+            f"val_dist_acc={va['dist_acc']:.3f}")
+
+        lr_scale = sched.step(va["loss"])
+        curr = (va["sound_acc"], va["aoa_mae"], va["dist_acc"])
+        if all(np.isfinite(curr)) and is_better_tuple(curr, best_tuple):
+            best_tuple = curr
+            ckpt.save_checkpoint(os.path.join(dirs["checkpoints"], "best"),
+                                 params, opt_state,
+                                 {"epoch": e, "val": va, "lr_scale": lr_scale})
+            say(f"Saved new best: sound_acc={curr[0]:.4f}, "
+                f"aoa_mae={curr[1]:.4f}, dist_acc={curr[2]:.4f}")
+        if rc.save_every_epoch:
+            ckpt.save_checkpoint(
+                os.path.join(dirs["checkpoints"], f"epoch{e:03d}"),
+                params, None, {"epoch": e})
+
+    ckpt.save_checkpoint(os.path.join(dirs["checkpoints"], "last"),
+                         params, opt_state,
+                         {"epoch": rc.epochs, "lr_scale": lr_scale})
+    with open(os.path.join(dirs["logs_json"], "history.json"), "w") as f:
+        json.dump(history, f, indent=2)
+
+    # ---- test with best params (train_biear.py:679-689) ----
+    best_dir = os.path.join(dirs["checkpoints"], "best")
+    if os.path.isdir(best_dir):
+        params, _, _ = ckpt.load_checkpoint(best_dir, params)
+    te = None
+    if datasets is not None and "test" in datasets:
+        te = run_split("test", 0, False)
+        with open(os.path.join(dirs["logs_json"], "test_metrics.json"),
+                  "w") as f:
+            json.dump(te, f, indent=2)
+        say(f"Test metrics: {te}")
+
+    logger.close()
+    return {"run_dir": dirs["run"], "exp_name": exp_name, "history": history,
+            "test": te, "best_tuple": best_tuple, "params": params}

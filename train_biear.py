@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Train a BiEAR model (TPU-native rebuild).
+
+Compatibility entry point: like the reference script, running with no
+arguments reads conf/config.yaml and trains under RUNS_ROOT with the same
+run-dir layout, settings.json, history.json and checkpoint naming
+(reference train_biear.py:16-157). Improvements over the reference: a real
+CLI, crash-resume-capable checkpoints, and optional on-device data
+synthesis (SYNTH_ON_DEVICE: true) that removes the H5 precompute stage.
+"""
+
+import argparse
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "conf", "config.yaml"))
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override EPOCHS")
+    ap.add_argument("--max-steps-per-epoch", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args()
+
+    from biear_tpu.utils.platform import honor_platform_env
+    honor_platform_env()
+
+    from biear_tpu.config import load_run_config
+    from biear_tpu.train.runner import train
+
+    rc = load_run_config(args.config)
+    if args.epochs is not None:
+        rc.epochs = args.epochs
+
+    synth = None
+    if rc.synth_on_device:
+        from biear_tpu.data.synth import (AnechoicSynthesizer,
+                                          make_test_hrir_bank,
+                                          make_test_segments)
+        sofa = rc.raw.get("SOFA_FILE")
+        segs_npy = rc.raw.get("SEGMENT_POOL")
+        if sofa and os.path.exists(sofa):
+            from tools.sofa_io import load_sofa_hrir
+            import numpy as np
+            ir, az, dist = load_sofa_hrir(sofa, fs_target=rc.model_cfg.fs)
+            segments = np.load(segs_npy) if segs_npy else make_test_segments(64)
+        else:
+            ir, az, dist = make_test_hrir_bank()
+            segments = make_test_segments(64)
+        synth = AnechoicSynthesizer(ir, az, dist, segments,
+                                    fs=rc.model_cfg.fs)
+
+    out = train(rc, synth=synth, seed=args.seed, quiet=args.quiet,
+                max_steps_per_epoch=args.max_steps_per_epoch)
+    print("Training finished.")
+    print("[Run dir]", out["run_dir"])
+
+
+if __name__ == "__main__":
+    main()
