@@ -1,0 +1,97 @@
+"""Pallas fused filterbank kernel: numerical parity with the jnp path
+(forward AND gradients), run in interpreter mode on CPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from biear_tpu.ops.erb import erb_spaced_fc_and_q
+from biear_tpu.ops.filterbank import filterbank_apply
+from biear_tpu.ops.pallas.fb_kernel import make_fb_apply, fb_apply_pallas
+
+
+@pytest.fixture(scope="module")
+def grids():
+    fc, Q0 = erb_spaced_fc_and_q(100, 50.0, 7200.0)
+    f_fft = np.linspace(0, 8000.0, 513).astype(np.float32)
+    return fc, Q0, f_fft
+
+
+def _inputs(rng, Q0, B=4):
+    Q = (Q0[None] * rng.uniform(0.6, 1.4, (B, 100))).astype(np.float32)
+    X = (rng.standard_normal((B, 513)) + 1j * rng.standard_normal((B, 513)))
+    X3 = np.stack([np.abs(X), X.real, X.imag], 1).astype(np.float32)
+    return jnp.asarray(Q), jnp.asarray(X3)
+
+
+def test_forward_matches_jnp_path(rng, grids):
+    fc, Q0, f_fft = grids
+    Q, X3 = _inputs(rng, np.asarray(Q0))
+    out = fb_apply_pallas(Q, X3, fc, f_fft)            # (B, 3, N)
+    Y, Zre, Zim = filterbank_apply(Q, jnp.asarray(fc), jnp.asarray(f_fft),
+                                   X3[:, 0], X3[:, 1], X3[:, 2])
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(Y),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[:, 1]), np.asarray(Zre),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[:, 2]), np.asarray(Zim),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_jnp_path(rng, grids):
+    fc, Q0, f_fft = grids
+    Q, X3 = _inputs(rng, np.asarray(Q0), B=2)
+    kernel = make_fb_apply(fc, f_fft)
+
+    def loss_pallas(q, x):
+        return jnp.sum(jnp.sin(kernel(q, x)))
+
+    def loss_ref(q, x):
+        Y, Zre, Zim = filterbank_apply(q, jnp.asarray(fc),
+                                       jnp.asarray(f_fft),
+                                       x[:, 0], x[:, 1], x[:, 2])
+        return jnp.sum(jnp.sin(jnp.stack([Y, Zre, Zim], 1)))
+
+    gq_p, gx_p = jax.grad(loss_pallas, argnums=(0, 1))(Q, X3)
+    gq_r, gx_r = jax.grad(loss_ref, argnums=(0, 1))(Q, X3)
+    np.testing.assert_allclose(np.asarray(gq_p), np.asarray(gq_r),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_frontend_with_pallas_matches_without(rng, monkeypatch, grids):
+    """Full adaptive frontend: pallas path == jnp path end to end."""
+    import biear_tpu.models.frontend as fe
+    from biear_tpu.models.config import BiEARConfig
+    from biear_tpu.models.biear import init_active
+    from biear_tpu.models import active_forward
+
+    cfg = BiEARConfig(fs=1600, timesteps=4, n_fft=256, n_bands=24,
+                      fmin=50.0, fmax=700.0, latent_dim=24,
+                      deltaQ_mode="relative")
+    params = init_active(jax.random.PRNGKey(0), cfg)
+    # make the controller live so Q actually moves
+    params["bifb"]["fb"]["q_out"]["l3"]["w"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(1), params["bifb"]["fb"]["q_out"]["l3"]["w"].shape)
+    wavL = jnp.asarray(rng.uniform(-1, 1, (2, 1600)).astype(np.float32))
+    wavR = jnp.asarray(rng.uniform(-1, 1, (2, 1600)).astype(np.float32))
+    x3 = jnp.zeros((2, 24))
+
+    monkeypatch.setenv("BIEAR_USE_PALLAS", "0")
+    fe._fused_fb_apply.cache_clear()
+    ref = active_forward(params, cfg, wavL, wavR, x3, train=False)
+
+    monkeypatch.setenv("BIEAR_USE_PALLAS", "1")
+    fe._fused_fb_apply.cache_clear()
+    pal = active_forward(params, cfg, wavL, wavR, x3, train=False)
+    monkeypatch.setenv("BIEAR_USE_PALLAS", "0")
+    fe._fused_fb_apply.cache_clear()
+
+    for a, b, name in zip(ref[:3], pal[:3], ("sound", "aoa", "dist")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(ref[3]["Q"]),
+                               np.asarray(pal[3]["Q"]), atol=1e-4)
