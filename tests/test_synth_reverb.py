@@ -1,0 +1,96 @@
+"""Reverberant synthesizer tests: geometry tables, label validity,
+speaker-reuse semantics, and the 'other' distance-class policy."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from biear_tpu.data import (ReverbSynthesizer, make_test_brir_bank,
+                            make_test_segments, AUDITORIUM3_SPEAKER_XY,
+                            dist_class_5)
+from biear_tpu.train import unpack_targets
+
+
+def test_dist_class_5_rule():
+    assert dist_class_5(0.4) == 0
+    assert dist_class_5(1.4) == 1
+    assert dist_class_5(2.6) == 3      # nearest of {0.5,1,2,3} to 2.6 is 3
+    assert dist_class_5(3.0) == 3
+    assert dist_class_5(3.97) == 4     # Auditorium S1 -> 'other'
+    assert dist_class_5(5.49) == 4
+
+
+def test_auditorium_speaker_distances_trigger_other():
+    d = np.sqrt((AUDITORIUM3_SPEAKER_XY ** 2).sum(1))
+    assert (np.sort(np.round(d, 2))[-2:] > 3.0).all()
+
+
+@pytest.fixture(scope="module")
+def rsynth():
+    ir, yaw, sxy = make_test_brir_bank()
+    return ReverbSynthesizer(ir, yaw, sxy, make_test_segments(8))
+
+
+def test_reverb_shapes_and_norm(rsynth):
+    wavL, wavR, x3, y = rsynth.sample_batch(jax.random.PRNGKey(0), 6)
+    assert wavL.shape == (6, 16000) and y.shape == (6, 56)
+    peaks = np.maximum(np.abs(np.asarray(wavL)).max(1),
+                       np.abs(np.asarray(wavR)).max(1))
+    np.testing.assert_allclose(peaks, 0.9, atol=1e-5)   # 0.9/peak scaling
+    assert bool(jnp.all(jnp.isfinite(x3)))
+
+
+def test_reverb_labels_valid(rsynth):
+    _, _, _, y = rsynth.sample_batch(jax.random.PRNGKey(1), 32)
+    ys, ya, yd = (np.asarray(a) for a in unpack_targets(y))
+    n_src = ys.sum(1).astype(int)
+    # n_src may be capped by sector availability but never 0 or > 3
+    assert (n_src >= 1).all() and (n_src <= 3).all()
+    assert np.allclose(yd.sum(-1), 1.0)
+    assert (yd[ys == 0].argmax(-1) == 0).all()
+    assert (yd[ys == 1].argmax(-1) >= 1).all()
+    assert (ya[ys == 1] > 0).all() and (ya[ys == 1] <= 1).all()
+
+
+def test_reverb_sector_consistency():
+    """Chosen sector label must equal the sector of the chosen speaker's
+    relative azimuth for the drawn head yaw."""
+    ir, yaw, sxy = make_test_brir_bank(n_yaw=8)
+    s = ReverbSynthesizer(ir, yaw, sxy, make_test_segments(4))
+    _, _, _, y = s.sample_batch(jax.random.PRNGKey(2), 16, n_src=1)
+    ys, ya, _ = (np.asarray(a) for a in unpack_targets(y))
+    az_world = np.degrees(np.arctan2(sxy[:, 1], sxy[:, 0])) % 360.0
+    for b in range(16):
+        sec = int(ys[b].argmax())
+        # angle label must be achievable by SOME (yaw, speaker) pair in
+        # that sector
+        found = False
+        for m in range(len(yaw)):
+            rel = (az_world - yaw[m]) % 360.0
+            secs = np.floor(rel / 45.0).astype(int)
+            norms = np.minimum((rel - secs * 45.0 + 1e-3) / 45.0, 1.0)
+            for e in range(len(az_world)):
+                if secs[e] == sec and abs(norms[e] - ya[b, sec]) < 1e-5:
+                    found = True
+        assert found, (b, sec, ya[b, sec])
+
+
+def test_reverb_other_policy():
+    ir, yaw, sxy = make_test_brir_bank()
+    with pytest.raises(ValueError, match="other"):
+        ReverbSynthesizer(ir, yaw, sxy, make_test_segments(4),
+                          other_policy="strict")
+    # clamp policy: far speakers land in one-hot index 4
+    s = ReverbSynthesizer(ir, yaw, sxy, make_test_segments(4))
+    _, _, _, y = s.sample_batch(jax.random.PRNGKey(3), 64, n_src=3)
+    yd = np.asarray(unpack_targets(y)[2])
+    assert (yd.argmax(-1) <= 4).all()
+
+
+def test_reverb_deterministic(rsynth):
+    a = rsynth.sample_batch(jax.random.PRNGKey(5), 4)
+    b = rsynth.sample_batch(jax.random.PRNGKey(5), 4)
+    for x, z in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
