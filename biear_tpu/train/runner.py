@@ -46,6 +46,41 @@ def _open_datasets(rc: RunConfig):
     return {k: DS(v, preload=rc.preload_h5) for k, v in paths.items()}
 
 
+class SynthEvalDataset:
+    """Fixed evaluation split materialised once from a synthesizer (the
+    moral equivalent of the reference's pre-generated val/test H5s, but
+    built on-device in seconds)."""
+
+    def __init__(self, synth, n: int, seed: int, n_src=None,
+                 test_thirds: bool = False):
+        import jax as _jax
+        key = _jax.random.PRNGKey(seed)
+        parts = []
+        bs = 256
+        made = 0
+        third = n // 3
+        while made < n:
+            take = min(bs, n - made)
+            if test_thirds:
+                ns = 1 if made < third else (2 if made < 2 * third else 3)
+            else:
+                ns = n_src
+            key, k = _jax.random.split(key)
+            parts.append(tuple(np.asarray(a) for a in
+                               synth.sample_batch(k, take, n_src=ns)))
+            made += take
+        self._data = tuple(np.concatenate([p[i] for p in parts])
+                           for i in range(4))
+        self.length = n
+
+    def __len__(self):
+        return self.length
+
+    def rows(self, idx):
+        idx = np.asarray(idx)
+        return tuple(d[idx] for d in self._data)
+
+
 class _SynthSource:
     """Adapter: on-device synthesizer -> epoch iterator of train batches."""
 
@@ -124,8 +159,17 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
     eval_step = make_eval_step(rc.model_cfg, rc.hyper, model_kind)
     sched = PlateauScheduler(factor=0.5, patience=10)
 
-    if datasets is None and (synth is None or not rc.synth_on_device):
-        datasets = _open_datasets(rc)
+    if datasets is None:
+        if synth is not None and rc.synth_on_device:
+            n_eval = int(rc.raw.get("SYNTH_EVAL_SAMPLES", 1024))
+            say(f"[Synth] materialising val/test splits ({n_eval} samples each)")
+            datasets = {
+                "val": SynthEvalDataset(synth, n_eval, seed + 101),
+                "test": SynthEvalDataset(synth, n_eval, seed + 202,
+                                         test_thirds=True),
+            }
+        else:
+            datasets = _open_datasets(rc)
 
     n_params = sum(x.size for x in jax.tree.leaves(params))
     say(f"[Params] total={n_params:,}")
@@ -152,9 +196,9 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
         nonlocal params, opt_state, global_step, key
         sums = {}
         if training and synth is not None and rc.synth_on_device:
-            it = _SynthSource(synth,
-                              max_steps_per_epoch or 128,
-                              rc.batch_size, seed).epoch(epoch)
+            steps = max_steps_per_epoch or int(
+                rc.raw.get("SYNTH_STEPS_PER_EPOCH", 128))
+            it = _SynthSource(synth, steps, rc.batch_size, seed).epoch(epoch)
         else:
             it = Prefetcher(batch_iterator(
                 datasets[name], rc.batch_size, shuffle=training,
