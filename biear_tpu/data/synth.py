@@ -65,31 +65,42 @@ class AnechoicSynthesizer:
             if len(g) == 0:
                 raise ValueError(f"no HRIR measurements in sector {s}")
         kmax = max(len(g) for g in groups)
-        table = np.stack([np.pad(g, (0, kmax - len(g)), mode="edge")
-                          for g in groups])
-        self._sector_table = jnp.asarray(table, jnp.int32)       # (S, kmax)
-        self._sector_counts = jnp.asarray(
-            [len(g) for g in groups], jnp.int32)
+        # Small lookup tables stay numpy: they embed into traces as plain
+        # constants with no device round-trip.
+        self._sector_table = np.stack(
+            [np.pad(g, (0, kmax - len(g)), mode="edge")
+             for g in groups]).astype(np.int32)                  # (S, kmax)
+        self._sector_counts = np.asarray(
+            [len(g) for g in groups], np.int32)
 
         # Per-measurement labels (generate_anechoic_data.py:111-128).
         in_sector = az - sec_of * width
         norm = np.minimum((in_sector + 1e-3) / width, 1.0)
         dcls = np.argmin(np.abs(DIST_CLASSES[None, :] - dist[:, None]), axis=1)
-        self._meas_sector = jnp.asarray(sec_of, jnp.int32)
-        self._meas_norm = jnp.asarray(norm, jnp.float32)
-        self._meas_dcls = jnp.asarray(dcls, jnp.int32)
 
         # HRIR spectra precomputed once: (M, 2, F) complex.
         self._fft_len = _next_pow2(self.fs + L - 1)
-        self._H = jnp.fft.rfft(jnp.asarray(ir), n=self._fft_len)
-        self._segments = jnp.asarray(np.asarray(segments, np.float32))
-        self._seg_len = self._segments.shape[1]
+        segments = np.asarray(segments, np.float32)
+        self._seg_len = segments.shape[1]
         if self._seg_len < self.fs:
             raise ValueError("segments must be at least 1 s long")
 
+        # The big banks travel as ARGUMENTS into the jitted sampler, not as
+        # captured constants: baking a captured device array into a trace
+        # requires a device->host read, which this image's TPU tunnel does
+        # not support for bulk arrays (and it would duplicate the bank into
+        # every executable anyway).
+        self._bank = {
+            "H": jax.device_put(
+                np.fft.rfft(ir, n=self._fft_len).astype(np.complex64)),
+            "segments": jax.device_put(segments),
+            "meas_norm": jax.device_put(norm.astype(np.float32)),
+            "meas_dcls": jax.device_put(dcls.astype(np.int32)),
+        }
+
     # ---------------- single-sample program (vmapped) ----------------
 
-    def _one(self, key, n_src_fixed: int):
+    def _one(self, bank, key, n_src_fixed: int):
         fs, S, MS = self.fs, self.n_sectors, self.max_sources
         ks = jax.random.split(key, 6)
 
@@ -101,18 +112,19 @@ class AnechoicSynthesizer:
 
         sectors = jax.random.permutation(ks[1], S)[:MS]          # distinct
         kq = jax.random.randint(ks[2], (MS,), 0, 2 ** 30)
-        kslot = kq % self._sector_counts[sectors]
-        meas = self._sector_table[sectors, kslot]                # (MS,)
+        kslot = kq % jnp.asarray(self._sector_counts)[sectors]
+        meas = jnp.asarray(self._sector_table)[sectors, kslot]   # (MS,)
 
-        seg_idx = jax.random.randint(ks[3], (MS,), 0, self._segments.shape[0])
+        n_segs = bank["segments"].shape[0]
+        seg_idx = jax.random.randint(ks[3], (MS,), 0, n_segs)
         seg_off = jax.random.randint(ks[4], (MS,), 0,
                                      self._seg_len - fs + 1)
         crop = jax.random.randint(ks[5], (MS,), 0, self.ir_len)  # [0, L-1]
 
         def one_source(m, sidx, soff, c):
-            seg = jax.lax.dynamic_slice(self._segments[sidx], (soff,), (fs,))
+            seg = jax.lax.dynamic_slice(bank["segments"][sidx], (soff,), (fs,))
             X = jnp.fft.rfft(seg, n=self._fft_len)               # (F,)
-            y_full = jnp.fft.irfft(X[None, :] * self._H[m], n=self._fft_len)
+            y_full = jnp.fft.irfft(X[None, :] * bank["H"][m], n=self._fft_len)
             return jax.lax.dynamic_slice(y_full, (0, c), (2, fs))
 
         src = jax.vmap(one_source)(meas, seg_idx, seg_off, crop)  # (MS, 2, fs)
@@ -123,19 +135,22 @@ class AnechoicSynthesizer:
         # ---- label vector (sectors are distinct, so scatter is exact) ----
         maskf = active.astype(jnp.float32)
         sound = jnp.zeros(S).at[sectors].set(maskf)
-        angle = jnp.zeros(S).at[sectors].set(self._meas_norm[meas] * maskf)
+        angle = jnp.zeros(S).at[sectors].set(
+            bank["meas_norm"][meas] * maskf)
         base = jnp.zeros((S, N_DIST_CLASSES)).at[:, 0].set(1.0)
         rows = jax.nn.one_hot(
-            jnp.where(active, self._meas_dcls[meas] + 1, 0), N_DIST_CLASSES)
+            jnp.where(active, bank["meas_dcls"][meas] + 1, 0),
+            N_DIST_CLASSES)
         onehot = base.at[sectors].set(rows)
         y = jnp.concatenate(
             [sound[:, None], angle[:, None], onehot], axis=1).reshape(-1)
         return y_lr[0], y_lr[1], y
 
-    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
-    def _batch(self, key, batch_size: int, n_src_fixed: int):
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _batch(self, bank, key, batch_size: int, n_src_fixed: int):
         keys = jax.random.split(key, batch_size)
-        wavL, wavR, y = jax.vmap(lambda k: self._one(k, n_src_fixed))(keys)
+        wavL, wavR, y = jax.vmap(
+            lambda k: self._one(bank, k, n_src_fixed))(keys)
         x3 = cross_correlation_feature(wavL, wavR, self.fs)
         return wavL, wavR, x3, y
 
@@ -144,7 +159,8 @@ class AnechoicSynthesizer:
 
         n_src=None -> Uniform{1..max_sources} per sample (train/val);
         n_src=k    -> forced source count (test-split construction)."""
-        return self._batch(key, batch_size, 0 if n_src is None else int(n_src))
+        return self._batch(self._bank, key, batch_size,
+                           0 if n_src is None else int(n_src))
 
 
 # ---------------- fixtures for tests / benchmarks ----------------

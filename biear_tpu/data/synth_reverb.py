@@ -94,19 +94,25 @@ class ReverbSynthesizer:
         else:
             raise ValueError(f"unknown other_policy {other_policy!r}")
 
-        self._rel_az = jnp.asarray(rel, jnp.float32)          # (M, E)
-        self._sector = jnp.asarray(sec, jnp.int32)            # (M, E)
-        self._norm = jnp.asarray(norm, jnp.float32)           # (M, E)
-        self._onehot_idx = jnp.asarray(onehot_idx, jnp.int32)  # (E,)
-        self._ir = jnp.asarray(ir)                            # (M, 2, E, L)
+        # Small tables stay numpy (embed as constants); the big banks are
+        # device-resident and passed as ARGUMENTS into the jitted sampler —
+        # captured device arrays would need a bulk device->host read at
+        # trace time, which this image's TPU tunnel cannot do.
+        self._sector_np = sec.astype(np.int32)                # (M, E)
+        self._norm_np = norm.astype(np.float32)               # (M, E)
+        self._onehot_np = onehot_idx.astype(np.int32)         # (E,)
         self._fft_len = _next_pow2(self.fs + L - 1)
-        self._segments = jnp.asarray(np.asarray(segments, np.float32))
-        self._seg_len = self._segments.shape[1]
+        segments = np.asarray(segments, np.float32)
+        self._seg_len = segments.shape[1]
         if self._seg_len < self.fs:
             raise ValueError("segments must be at least 1 s long")
         self.n_measurements = M
+        self._bank = {
+            "ir": jax.device_put(ir),                         # (M, 2, E, L)
+            "segments": jax.device_put(segments),
+        }
 
-    def _one(self, key, n_src_fixed: int):
+    def _one(self, bank, key, n_src_fixed: int):
         fs, E, MS = self.fs, self.n_speakers, self.max_sources
         ks = jax.random.split(key, 7)
 
@@ -116,7 +122,7 @@ class ReverbSynthesizer:
         else:
             n_src = jax.random.randint(ks[1], (), 1, MS + 1)
 
-        spk_sector = self._sector[m]                        # (E,)
+        spk_sector = jnp.asarray(self._sector_np)[m]        # (E,)
         # occupied sectors -> randomised-priority top-MS distinct choice
         occ = jnp.zeros(N_SECTORS, bool).at[spk_sector].set(True)
         n_valid = jnp.sum(occ.astype(jnp.int32))
@@ -144,13 +150,14 @@ class ReverbSynthesizer:
             speakers.append(s)
         speakers = jnp.stack(speakers)                      # (MS,)
 
-        seg_idx = jax.random.randint(ks[4], (MS,), 0, self._segments.shape[0])
+        seg_idx = jax.random.randint(ks[4], (MS,), 0,
+                                     bank["segments"].shape[0])
         seg_off = jax.random.randint(ks[5], (MS,), 0, self._seg_len - fs + 1)
 
         def one_source(s, sidx, soff):
-            seg = jax.lax.dynamic_slice(self._segments[sidx], (soff,), (fs,))
+            seg = jax.lax.dynamic_slice(bank["segments"][sidx], (soff,), (fs,))
             X = jnp.fft.rfft(seg, n=self._fft_len)
-            H = jnp.fft.rfft(self._ir[m, :, s, :], n=self._fft_len)  # (2, F)
+            H = jnp.fft.rfft(bank["ir"][m, :, s, :], n=self._fft_len)  # (2, F)
             y = jnp.fft.irfft(X[None, :] * H, n=self._fft_len)
             return y[:, :fs]                                # truncate, no crop
 
@@ -164,24 +171,27 @@ class ReverbSynthesizer:
         secs = chosen_sectors
         sound = jnp.zeros(N_SECTORS).at[secs].set(maskf)
         angle = jnp.zeros(N_SECTORS).at[secs].set(
-            self._norm[m, speakers] * maskf)
+            jnp.asarray(self._norm_np)[m, speakers] * maskf)
         base = jnp.zeros((N_SECTORS, N_DIST_CLASSES)).at[:, 0].set(1.0)
         rows = jax.nn.one_hot(
-            jnp.where(active, self._onehot_idx[speakers], 0), N_DIST_CLASSES)
+            jnp.where(active, jnp.asarray(self._onehot_np)[speakers], 0),
+            N_DIST_CLASSES)
         onehot = base.at[secs].set(rows)
         y = jnp.concatenate(
             [sound[:, None], angle[:, None], onehot], axis=1).reshape(-1)
         return y_lr[0], y_lr[1], y
 
-    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
-    def _batch(self, key, batch_size: int, n_src_fixed: int):
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _batch(self, bank, key, batch_size: int, n_src_fixed: int):
         keys = jax.random.split(key, batch_size)
-        wavL, wavR, y = jax.vmap(lambda k: self._one(k, n_src_fixed))(keys)
+        wavL, wavR, y = jax.vmap(
+            lambda k: self._one(bank, k, n_src_fixed))(keys)
         x3 = cross_correlation_feature(wavL, wavR, self.fs)
         return wavL, wavR, x3, y
 
     def sample_batch(self, key, batch_size: int, n_src: int | None = None):
-        return self._batch(key, batch_size, 0 if n_src is None else int(n_src))
+        return self._batch(self._bank, key, batch_size,
+                           0 if n_src is None else int(n_src))
 
 
 def make_test_brir_bank(n_yaw: int = 24, ir_len: int = 1200, seed: int = 0,

@@ -47,38 +47,37 @@ def _open_datasets(rc: RunConfig):
 
 
 class SynthEvalDataset:
-    """Fixed evaluation split materialised once from a synthesizer (the
-    moral equivalent of the reference's pre-generated val/test H5s, but
-    built on-device in seconds)."""
+    """Fixed evaluation split materialised once from a synthesizer — the
+    moral equivalent of the reference's pre-generated val/test H5s.
 
-    def __init__(self, synth, n: int, seed: int, n_src=None,
-                 test_thirds: bool = False):
+    The batches STAY ON DEVICE: this image's TPU tunnel makes bulk
+    device->host transfers pathologically slow, and there is no reason for
+    synthetic eval data to ever visit the host. The runner consumes the
+    split via device_batches() instead of the .rows() path."""
+
+    def __init__(self, synth, n: int, seed: int, batch_size: int,
+                 n_src=None, test_thirds: bool = False):
         import jax as _jax
         key = _jax.random.PRNGKey(seed)
-        parts = []
-        bs = 256
+        self._batches = []
         made = 0
         third = n // 3
         while made < n:
-            take = min(bs, n - made)
+            take = min(batch_size, n - made)
             if test_thirds:
                 ns = 1 if made < third else (2 if made < 2 * third else 3)
             else:
                 ns = n_src
             key, k = _jax.random.split(key)
-            parts.append(tuple(np.asarray(a) for a in
-                               synth.sample_batch(k, take, n_src=ns)))
+            self._batches.append(synth.sample_batch(k, take, n_src=ns))
             made += take
-        self._data = tuple(np.concatenate([p[i] for p in parts])
-                           for i in range(4))
-        self.length = n
+        self.length = made
 
     def __len__(self):
         return self.length
 
-    def rows(self, idx):
-        idx = np.asarray(idx)
-        return tuple(d[idx] for d in self._data)
+    def device_batches(self):
+        return iter(self._batches)
 
 
 class _SynthSource:
@@ -164,9 +163,10 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
             n_eval = int(rc.raw.get("SYNTH_EVAL_SAMPLES", 1024))
             say(f"[Synth] materialising val/test splits ({n_eval} samples each)")
             datasets = {
-                "val": SynthEvalDataset(synth, n_eval, seed + 101),
+                "val": SynthEvalDataset(synth, n_eval, seed + 101,
+                                        rc.batch_size),
                 "test": SynthEvalDataset(synth, n_eval, seed + 202,
-                                         test_thirds=True),
+                                         rc.batch_size, test_thirds=True),
             }
         else:
             datasets = _open_datasets(rc)
@@ -199,6 +199,8 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
             steps = max_steps_per_epoch or int(
                 rc.raw.get("SYNTH_STEPS_PER_EPOCH", 128))
             it = _SynthSource(synth, steps, rc.batch_size, seed).epoch(epoch)
+        elif hasattr(datasets[name], "device_batches"):
+            it = datasets[name].device_batches()
         else:
             it = Prefetcher(batch_iterator(
                 datasets[name], rc.batch_size, shuffle=training,
