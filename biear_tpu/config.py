@@ -78,6 +78,10 @@ def load_run_config(path: str) -> RunConfig:
         n_bands=int(cfg.get("N_BANDS", 100)),
         d_model=int(cfg.get("D_MODEL", 128)),
         hop_ratio=float(cfg.get("HOP_RATIO", 1.0)),
+        fs=int(cfg.get("FS", 16000)),
+        fmin=float(cfg.get("FMIN", 50.0)),
+        fmax=cfg.get("FMAX", None),
+        latent_dim=int(cfg.get("LATENT_DIM", 100)),
     )
     hyper = TrainHyper(
         lr_fb=float(cfg["LR_FB"]),

@@ -63,3 +63,17 @@ def build_label_from_npz_dict(d) -> np.ndarray:
         np.asarray(d["distance_class"], np.int64),
         int(d["num_sources"]),
     )
+
+
+def split_y_matrix(y_mat: np.ndarray):
+    """Legacy DeepEar output split: y (N, 56) -> 24 arrays, per sector
+    [sound (N,), angle (N,), dist (N, 5)]. Unused by current training but
+    part of the reference API surface (data_save.py:27-72)."""
+    y_mat = np.asarray(y_mat)
+    out = []
+    for k in range(N_SECTORS):
+        base = 7 * k
+        out.append(y_mat[:, base])
+        out.append(y_mat[:, base + 1])
+        out.append(y_mat[:, base + 2:base + 7])
+    return out

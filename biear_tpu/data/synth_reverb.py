@@ -48,6 +48,11 @@ AUDITORIUM3_SPEAKER_XY = np.array([
     [0.00, 1.50], [-0.75, 1.30], [0.75, 1.30],
 ])
 
+# Spirit room: 3 loudspeakers at ~2 m (generate_spirit_data.py:57-61)
+SPIRIT_SPEAKER_XY = np.array([
+    [-1.00, 1.73], [0.00, 2.00], [1.00, 1.73],
+])
+
 
 class ReverbSynthesizer:
     """Batched on-device sampler over a head-rotation BRIR bank.

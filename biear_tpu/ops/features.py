@@ -134,6 +134,36 @@ def compute_gammatone_feature_stft(wav_1d, fs, data_dim=DATA_DIM,
     return db.T.astype(np.float32)
 
 
+def compute_gammatone_feature(wav_1d, fs, data_dim=DATA_DIM,
+                              timesteps=TIMESTEPS, fmin: float = 50.0):
+    """gtgram-equivalent band-energy feature: true gammatone filterbank,
+    per-window RMS energy in dB, (timesteps, data_dim).
+
+    Capability parity with utils.py:119-142 (which uses the `gammatone`
+    package, unavailable here; this uses scipy's IIR gammatone — same
+    filter family, dB within normalisation of gtgram's integration)."""
+    from scipy.signal import gammatone, lfilter
+
+    wav = np.asarray(wav_1d, np.float32)
+    e = lambda f: 21.4 * np.log10(4.37e-3 * f + 1.0)
+    einv = lambda x: (10 ** (x / 21.4) - 1.0) / 4.37e-3
+    centers = np.clip(einv(np.linspace(e(fmin), e(fs / 2.0), data_dim)),
+                      1.0, fs / 2 - 1.0)
+    n = len(wav)
+    frame_len = max(1, n // timesteps)
+    total = frame_len * timesteps
+    wav = np.pad(wav, (0, max(0, total - n)))[:total]
+    frames = wav.reshape(timesteps, frame_len)
+
+    gt = np.zeros((data_dim, timesteps), np.float32)
+    for b, fc in enumerate(centers):
+        bc, ac = gammatone(fc, "iir", fs=fs)
+        sub = lfilter(bc, ac, wav).reshape(timesteps, frame_len)
+        gt[b] = np.sqrt(np.mean(sub ** 2, axis=1))
+    feat = 20.0 * np.log10(gt + 1e-8)
+    return feat.T.astype(np.float32)
+
+
 def compute_gammatone_mag_phase_direct(wav_1d, fs, data_dim=DATA_DIM,
                                        timesteps=TIMESTEPS, fmin=50.0,
                                        fmax=None, order=4):

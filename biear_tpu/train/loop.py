@@ -63,9 +63,19 @@ def _group_norms(grads):
         return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
                             for x in leaves))
 
+    def absmax(tree):
+        leaves = jax.tree.leaves(tree)
+        if not leaves:
+            return jnp.float32(0.0)
+        return jnp.max(jnp.stack([jnp.max(jnp.abs(x)) for x in leaves]))
+
     return {
         "grad_fb_norm": norm(fb),
         "grad_backend_norm": norm(be),
+        # distribution summaries (the TB-histogram substitute,
+        # train_biear.py:206-222)
+        "grad_fb_absmax": absmax(fb),
+        "grad_backend_absmax": absmax(be),
         "grad_fb_finite": _tree_finite(fb).astype(jnp.float32),
         "grad_backend_finite": _tree_finite(be).astype(jnp.float32),
     }

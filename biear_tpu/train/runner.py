@@ -114,18 +114,28 @@ def _finalize(sums):
 
 def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
           run_id: str | None = None, quiet: bool = False,
-          max_steps_per_epoch: int | None = None) -> dict:
+          max_steps_per_epoch: int | None = None,
+          resume_from: str | None = None) -> dict:
     """Run the full training job; returns a summary dict with run paths,
     history and test metrics.
 
     datasets: optional {"train","val","test"} dataset objects (tests inject
     tiny ones); otherwise opened from the H5 path convention.
-    synth: optional AnechoicSynthesizer replacing the train split
+    synth: optional synthesizer replacing the train split
     (rc.synth_on_device path).
+    resume_from: an existing run directory — continue from its
+    checkpoints/last (params + optimizer state + epoch), appending to its
+    history. The reference cannot do this (it never saves optimizer state,
+    SURVEY.md §5).
     """
     say = (lambda *a: None) if quiet else print
 
-    exp_name, run_id = make_exp_name(rc, run_id)
+    if resume_from is not None:
+        exp_name = os.path.basename(os.path.normpath(resume_from))
+        rc.runs_root = os.path.dirname(os.path.normpath(resume_from)) or "."
+        run_id = run_id or "resume"
+    else:
+        exp_name, run_id = make_exp_name(rc, run_id)
     dirs = make_run_dirs(rc, exp_name)
     with open(os.path.join(dirs["meta"], "settings.json"), "w") as f:
         json.dump(settings_dict(rc, run_id, exp_name), f, indent=2)
@@ -191,6 +201,25 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
     best_tuple = None
     global_step = 0
     lr_scale = 1.0
+    start_epoch = 1
+
+    if resume_from is not None:
+        last_dir = os.path.join(dirs["checkpoints"], "last")
+        if not os.path.isdir(last_dir):
+            raise FileNotFoundError(f"no 'last' checkpoint under "
+                                    f"{dirs['checkpoints']} to resume from")
+        params, opt_state_r, meta = ckpt.load_checkpoint(
+            last_dir, params, opt_state)
+        if opt_state_r is not None:
+            opt_state = opt_state_r
+        if meta:
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            lr_scale = float(meta.get("lr_scale", 1.0))
+        hist_path = os.path.join(dirs["logs_json"], "history.json")
+        if os.path.exists(hist_path):
+            with open(hist_path) as f:
+                history = json.load(f)
+        say(f"[Resume] from epoch {start_epoch - 1}, lr_scale={lr_scale}")
 
     def run_split(name, epoch, training):
         nonlocal params, opt_state, global_step, key
@@ -236,7 +265,7 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
                        epoch)
         return out
 
-    for e in range(1, rc.epochs + 1):
+    for e in range(start_epoch, rc.epochs + 1):
         tr = run_split("train", e, True)
         va = run_split("val", e, False)
         history["train"].append(tr)

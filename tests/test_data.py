@@ -208,3 +208,13 @@ def test_synth_itd_physics(synth):
         assert np.sign(peak_lag) == np.sign(-itd) or abs(peak_lag) < 1.3e-4
         checked += 1
     assert checked >= 4
+
+
+def test_split_y_matrix_legacy(rng):
+    from biear_tpu.data.labels import split_y_matrix
+    y = rng.standard_normal((5, 56)).astype(np.float32)
+    parts = split_y_matrix(y)
+    assert len(parts) == 24
+    np.testing.assert_array_equal(parts[0], y[:, 0])
+    np.testing.assert_array_equal(parts[2], y[:, 2:7])
+    np.testing.assert_array_equal(parts[23], y[:, 51:56])

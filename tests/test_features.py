@@ -7,6 +7,7 @@ import pytest
 import jax.numpy as jnp
 
 from biear_tpu.ops.features import (
+    compute_gammatone_feature,
     build_gammatone_filterbank, stft_center_false, _stft_params,
     stft_gammatone_mag_phase, compute_gammatone_mag_phase,
     compute_gammatone_feature_stft, compute_gammatone_mag_phase_direct,
@@ -120,3 +121,17 @@ def test_direct_gammatone_route(rng):
                                               timesteps=5)
     assert m.shape == (5, 12) and p.shape == (5, 12)
     assert np.isfinite(m).all() and (np.abs(p) <= np.pi).all()
+
+
+def test_gtgram_equivalent_feature(rng):
+    wav = rng.standard_normal(4000).astype(np.float32)
+    f = compute_gammatone_feature(wav, 8000, data_dim=12, timesteps=5)
+    assert f.shape == (5, 12) and np.isfinite(f).all()
+    # a 1 kHz tone's energy must peak near the 1 kHz band
+    t = np.arange(8000) / 8000
+    tone = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    ft = compute_gammatone_feature(tone, 8000, data_dim=24, timesteps=5)
+    e = lambda x: 21.4 * np.log10(4.37e-3 * x + 1.0)
+    einv = lambda x: (10 ** (x / 21.4) - 1.0) / 4.37e-3
+    centers = einv(np.linspace(e(50.0), e(4000.0), 24))
+    assert abs(centers[int(ft[2].argmax())] - 1000.0) < 250.0

@@ -152,3 +152,20 @@ def test_settings_walk_and_rebuild(tmp_path):
     cfg, hp, _ = config_from_settings(got)
     assert cfg.controller_mode == "single"
     assert cfg.deltaQ_mode == "absolute" and cfg.deltaQ_base == 2.0
+
+
+def test_resume_continues_training(tmp_path, rng):
+    """Crash-resume: train 2 epochs, resume for 2 more from the same run
+    dir; history extends and optimizer state carries over."""
+    rc = _tiny_rc(tmp_path)
+    ds = _tiny_h5(tmp_path, rng)
+    out = train(rc, datasets=ds, quiet=True, run_id="R")
+    run_dir = out["run_dir"]
+
+    rc2 = _tiny_rc(tmp_path)
+    rc2.epochs = 4
+    out2 = train(rc2, datasets=ds, quiet=True, resume_from=run_dir)
+    assert out2["run_dir"] == run_dir
+    with open(os.path.join(run_dir, "logs_json", "history.json")) as f:
+        h = json.load(f)
+    assert len(h["train"]) == 4          # 2 original + 2 resumed

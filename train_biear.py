@@ -21,6 +21,9 @@ def main():
                     help="override EPOCHS")
     ap.add_argument("--max-steps-per-epoch", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", default=None, metavar="RUN_DIR",
+                    help="continue training from an existing run directory "
+                         "(restores params + optimizer state + epoch)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 
@@ -70,7 +73,8 @@ def main():
                                         fs=rc.model_cfg.fs)
 
     out = train(rc, synth=synth, seed=args.seed, quiet=args.quiet,
-                max_steps_per_epoch=args.max_steps_per_epoch)
+                max_steps_per_epoch=args.max_steps_per_epoch,
+                resume_from=args.resume)
     print("Training finished.")
     print("[Run dir]", out["run_dir"])
 
