@@ -25,14 +25,17 @@ from . import frontend as F
 
 @functools.lru_cache(maxsize=None)
 def _sinusoidal_pe(T: int, d_model: int):
-    """Standard transformer PE (model_torch.py:56-67); static constant."""
+    """Standard transformer PE (model_torch.py:56-67); static constant.
+
+    Returns NUMPY — an lru_cache must never hold jnp values, because a
+    first call inside a jit trace would cache (and later leak) a tracer."""
     position = np.arange(T, dtype=np.float32)[:, None]
     div = np.exp(np.arange(0, d_model, 2, dtype=np.float32)
                  * (-math.log(10000.0) / max(d_model, 1)))
     pe = np.zeros((T, d_model), np.float32)
     pe[:, 0::2] = np.sin(position * div)
     pe[:, 1::2] = np.cos(position * div)
-    return jnp.asarray(pe)
+    return pe
 
 
 # ---------------- multi-head self-attention (torch MHA layout) ----------------

@@ -1,0 +1,108 @@
+"""Sharded-execution correctness on the 8-device virtual CPU mesh:
+data-parallel and data+model-parallel training steps must match the
+single-device step numerically."""
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from biear_tpu.models.config import BiEARConfig
+from biear_tpu.models.biear import init_active
+from biear_tpu.parallel.mesh import make_mesh, batch_sharding, param_pspecs, shard_params
+from biear_tpu.train import TrainHyper, make_optimizer, make_train_step, make_eval_step
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    cfg = BiEARConfig(fs=1600, timesteps=4, n_fft=256, n_bands=24,
+                      fmin=50.0, fmax=700.0, latent_dim=24,
+                      deltaQ_mode="relative")
+    params = init_active(jax.random.PRNGKey(0), cfg)
+    hp = TrainHyper()
+    rng = np.random.default_rng(0)
+    B = 16
+    y = np.zeros((B, 8, 7), np.float32)
+    y[:, :, 2] = 1.0
+    for b in range(B):
+        s = rng.integers(0, 8)
+        y[b, s, :3] = (1.0, rng.uniform(), 0.0)
+        y[b, s, 3 + rng.integers(0, 4)] = 1.0
+    batch = (rng.uniform(-1, 1, (B, cfg.fs)).astype(np.float32),
+             rng.uniform(-1, 1, (B, cfg.fs)).astype(np.float32),
+             rng.uniform(-1, 1, (B, cfg.n_bands)).astype(np.float32),
+             y.reshape(B, 56))
+    return cfg, params, hp, batch
+
+
+def _run_steps(cfg, params, hp, batch, mesh=None, n_steps=3):
+    params = jax.tree.map(jnp.copy, params)
+    if mesh is not None:
+        params = shard_params(params, mesh)
+        bsh = batch_sharding(mesh)
+        batch = tuple(jax.device_put(np.asarray(b), bsh) for b in batch)
+    else:
+        batch = tuple(jnp.asarray(b) for b in batch)
+    opt = make_optimizer(params, hp)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, hp, opt, "active")
+    losses = []
+    for i in range(n_steps):
+        # train=False dropout is off only in eval; use a FIXED key so the
+        # dropout masks are identical across mesh configurations.
+        params, opt_state, m = step(params, opt_state, batch,
+                                    jax.random.PRNGKey(7), jnp.float32(1.0))
+        losses.append(float(m["loss"]))
+    ev = make_eval_step(cfg, hp, "active")
+    final = float(ev(params, batch)["loss"])
+    return losses, final
+
+
+def test_dp_matches_single_device(setup):
+    cfg, params, hp, batch = setup
+    base_losses, base_final = _run_steps(cfg, params, hp, batch, mesh=None)
+    mesh = make_mesh(8, 1)
+    dp_losses, dp_final = _run_steps(cfg, params, hp, batch, mesh=mesh)
+    np.testing.assert_allclose(dp_losses, base_losses, rtol=2e-4)
+    np.testing.assert_allclose(dp_final, base_final, rtol=2e-4)
+
+
+def test_dp_tp_matches_single_device(setup):
+    cfg, params, hp, batch = setup
+    base_losses, base_final = _run_steps(cfg, params, hp, batch, mesh=None)
+    mesh = make_mesh(4, 2)
+    tp_losses, tp_final = _run_steps(cfg, params, hp, batch, mesh=mesh)
+    np.testing.assert_allclose(tp_losses, base_losses, rtol=2e-4)
+    np.testing.assert_allclose(tp_final, base_final, rtol=2e-4)
+
+
+def test_param_pspecs_structure(setup):
+    cfg, params, hp, _ = setup
+    specs = param_pspecs(params, True)
+    assert specs["subheads"]["shared"]["w"] == P("model", None, None)
+    assert specs["body"]["l1"]["w"] == P("model", None)
+    assert specs["body"]["l2"]["w"] == P(None, "model")
+    assert specs["encoder_ild"]["gru1"]["w_ih"] == P()
+    # replicated spec tree for DP-only
+    flat = jax.tree.leaves(param_pspecs(params, False),
+                           is_leaf=lambda x: isinstance(x, P))
+    assert all(s == P() for s in flat)
+
+
+def test_sharded_synthesizer(setup):
+    """The synthesizer runs under a mesh too (batch split over data)."""
+    from biear_tpu.data import AnechoicSynthesizer, make_test_hrir_bank, make_test_segments
+    ir, az, dist = make_test_hrir_bank()
+    s = AnechoicSynthesizer(ir, az, dist, make_test_segments(4), fs=16000)
+    out = s.sample_batch(jax.random.PRNGKey(0), 16)
+    assert out[0].shape == (16, 16000)
+    assert bool(jnp.all(jnp.isfinite(out[0])))
