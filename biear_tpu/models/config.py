@@ -52,6 +52,12 @@ class BiEARConfig:
     ctrl_dropout: float = 0.1
     backend_dropout: float = 0.2
 
+    # rematerialise the frontend scan step in backward: the per-frame W
+    # tensors dominate BPTT memory ((T, 2, B, N, F) floats — ~14 GB at
+    # batch 512); recomputing them costs a fraction of a ms and unlocks
+    # 4x larger batches per chip.
+    remat_frontend: bool = True
+
     # AuralNet baseline
     d_model: int = 128
     attn_heads: int = 4

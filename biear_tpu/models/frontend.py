@@ -219,7 +219,8 @@ def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
 
     xs = (jnp.swapaxes(Xmag, 0, 1), jnp.swapaxes(Xre, 0, 1),
           jnp.swapaxes(Xim, 0, 1), step_keys)
-    _, (Y, Q, phase) = jax.lax.scan(step, (Q_init, h_init), xs)
+    body = jax.checkpoint(step) if cfg.remat_frontend else step
+    _, (Y, Q, phase) = jax.lax.scan(body, (Q_init, h_init), xs)
     return (jnp.swapaxes(Y, 0, 1), jnp.swapaxes(Q, 0, 1),
             jnp.swapaxes(phase, 0, 1))
 
@@ -343,7 +344,8 @@ def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
 
     sw = lambda a: jnp.swapaxes(a, 0, 1)
     xs = (sw(XmagL), sw(XreL), sw(XimL), sw(XmagR), sw(XreR), sw(XimR), step_keys)
-    _, (YL, YR, Q, phL, phR) = jax.lax.scan(step, carry0, xs)
+    body = jax.checkpoint(step) if cfg.remat_frontend else step
+    _, (YL, YR, Q, phL, phR) = jax.lax.scan(body, carry0, xs)
     return sw(YL), sw(YR), sw(Q), sw(Q), sw(phL), sw(phR)
 
 

@@ -215,6 +215,13 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
         if meta:
             start_epoch = int(meta.get("epoch", 0)) + 1
             lr_scale = float(meta.get("lr_scale", 1.0))
+            if meta.get("best_tuple"):
+                best_tuple = tuple(meta["best_tuple"])
+            s = meta.get("sched")
+            if s:
+                sched.best = float(s["best"])
+                sched.num_bad = int(s["num_bad"])
+                sched.scale = float(s["scale"])
         hist_path = os.path.join(dirs["logs_json"], "history.json")
         if os.path.exists(hist_path):
             with open(hist_path) as f:
@@ -260,7 +267,6 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
             sums = _accumulate(sums, m, bs)
         out = _finalize(sums)
         out["sec"] = time.time() - t0
-        n = sums.get("_n", 0)
         logger.scalars(name, {k: v for k, v in out.items() if k != "sec"},
                        epoch)
         return out
@@ -288,10 +294,22 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
             ckpt.save_checkpoint(
                 os.path.join(dirs["checkpoints"], f"epoch{e:03d}"),
                 params, None, {"epoch": e})
+        # rolling crash-resume point (+ history so far)
+        ckpt.save_checkpoint(
+            os.path.join(dirs["checkpoints"], "last"), params, opt_state,
+            {"epoch": e, "lr_scale": lr_scale,
+             "best_tuple": list(best_tuple) if best_tuple else None,
+             "sched": {"best": sched.best, "num_bad": sched.num_bad,
+                       "scale": sched.scale}})
+        with open(os.path.join(dirs["logs_json"], "history.json"), "w") as f:
+            json.dump(history, f, indent=2)
 
-    ckpt.save_checkpoint(os.path.join(dirs["checkpoints"], "last"),
-                         params, opt_state,
-                         {"epoch": rc.epochs, "lr_scale": lr_scale})
+    ckpt.save_checkpoint(
+        os.path.join(dirs["checkpoints"], "last"), params, opt_state,
+        {"epoch": rc.epochs, "lr_scale": lr_scale,
+         "best_tuple": list(best_tuple) if best_tuple else None,
+         "sched": {"best": sched.best, "num_bad": sched.num_bad,
+                   "scale": sched.scale}})
     with open(os.path.join(dirs["logs_json"], "history.json"), "w") as f:
         json.dump(history, f, indent=2)
 

@@ -169,3 +169,28 @@ def test_resume_continues_training(tmp_path, rng):
     with open(os.path.join(run_dir, "logs_json", "history.json")) as f:
         h = json.load(f)
     assert len(h["train"]) == 4          # 2 original + 2 resumed
+
+
+def test_evaluate_reference_pth_checkpoint(tmp_path, rng):
+    """Interop: evaluate() consumes a raw torch state_dict (.pth) exactly
+    like the reference's evaluator, recovering config from settings.json."""
+    torch = pytest.importorskip("torch")
+    from biear_tpu.models.biear import init_active
+    from biear_tpu.train.state import export_torch_pth
+
+    rc = _tiny_rc(tmp_path)
+    cfg = rc.model_cfg
+    params = init_active(jax.random.PRNGKey(3), cfg)
+
+    run = tmp_path / "run"
+    (run / "checkpoints").mkdir(parents=True)
+    (run / "meta").mkdir()
+    pth = str(run / "checkpoints" / "best.pth")
+    export_torch_pth(pth, params, cfg)
+    with open(run / "meta" / "settings.json", "w") as f:
+        json.dump(settings_dict(rc, "X", "exp"), f)
+
+    ds = _tiny_h5(tmp_path, rng)["test"]
+    res = evaluate(pth, dataset=ds, batch_size=4, quiet=True,
+                   out_path=str(tmp_path / "m.json"))
+    assert "overall" in res and np.isfinite(res["overall"]["aoa_mae"])
