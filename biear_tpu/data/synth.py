@@ -89,13 +89,17 @@ class AnechoicSynthesizer:
         # captured constants: baking a captured device array into a trace
         # requires a device->host read, which this image's TPU tunnel does
         # not support for bulk arrays (and it would duplicate the bank into
-        # every executable anyway).
+        # every executable anyway). The HRIR spectra ship as TWO float32
+        # planes — the tunnel's transfer path only implements f32, so no
+        # complex64 (or int) array may ever cross host<->device; complex is
+        # formed on device inside the jit.
+        H = np.fft.rfft(ir, n=self._fft_len)
         self._bank = {
-            "H": jax.device_put(
-                np.fft.rfft(ir, n=self._fft_len).astype(np.complex64)),
+            "H_re": jax.device_put(H.real.astype(np.float32)),
+            "H_im": jax.device_put(H.imag.astype(np.float32)),
             "segments": jax.device_put(segments),
             "meas_norm": jax.device_put(norm.astype(np.float32)),
-            "meas_dcls": jax.device_put(dcls.astype(np.int32)),
+            "meas_dcls": jax.device_put(dcls.astype(np.float32)),
         }
 
     # ---------------- single-sample program (vmapped) ----------------
@@ -124,7 +128,8 @@ class AnechoicSynthesizer:
         def one_source(m, sidx, soff, c):
             seg = jax.lax.dynamic_slice(bank["segments"][sidx], (soff,), (fs,))
             X = jnp.fft.rfft(seg, n=self._fft_len)               # (F,)
-            y_full = jnp.fft.irfft(X[None, :] * bank["H"][m], n=self._fft_len)
+            Hm = jax.lax.complex(bank["H_re"][m], bank["H_im"][m])
+            y_full = jnp.fft.irfft(X[None, :] * Hm, n=self._fft_len)
             return jax.lax.dynamic_slice(y_full, (0, c), (2, fs))
 
         src = jax.vmap(one_source)(meas, seg_idx, seg_off, crop)  # (MS, 2, fs)
@@ -138,9 +143,9 @@ class AnechoicSynthesizer:
         angle = jnp.zeros(S).at[sectors].set(
             bank["meas_norm"][meas] * maskf)
         base = jnp.zeros((S, N_DIST_CLASSES)).at[:, 0].set(1.0)
+        dcls_i = bank["meas_dcls"][meas].astype(jnp.int32)  # f32 in the bank
         rows = jax.nn.one_hot(
-            jnp.where(active, bank["meas_dcls"][meas] + 1, 0),
-            N_DIST_CLASSES)
+            jnp.where(active, dcls_i + 1, 0), N_DIST_CLASSES)
         onehot = base.at[sectors].set(rows)
         y = jnp.concatenate(
             [sound[:, None], angle[:, None], onehot], axis=1).reshape(-1)
