@@ -50,6 +50,7 @@ class Prefetcher:
         self._sharding = sharding
         self._shard_div = (dict(sharding.mesh.shape).get("data", 1)
                            if sharding is not None else 1)
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, args=(it,),
                                         daemon=True)
         self._thread.start()
@@ -62,13 +63,24 @@ class Prefetcher:
             return tuple(jax.device_put(b, self._sharding) for b in batch)
         return tuple(jax.device_put(b) for b in batch)
 
+    def _put(self, item) -> bool:
+        """Enqueue unless the consumer closed us; returns False to stop."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
     def _run(self, it):
         try:
             for batch in it:
-                self._q.put(self._put_batch(batch))
-            self._q.put(self._DONE)
+                if not self._put(self._put_batch(batch)):
+                    return               # consumer closed early
+            self._put(self._DONE)
         except BaseException as e:       # noqa: BLE001 — propagate to consumer
-            self._q.put(e)
+            self._put(e)
 
     def __iter__(self):
         return self
@@ -80,3 +92,20 @@ class Prefetcher:
         if isinstance(item, BaseException):
             raise item
         return item
+
+    def close(self):
+        """Release the worker and its queued device batches. Safe to call
+        multiple times; consumers that stop early MUST call this (or the
+        thread would sit blocked on a full queue holding device memory)."""
+        self._stop.set()
+
+        def drain():
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue_mod.Empty:
+                pass
+
+        drain()                         # unblock a put-waiting worker
+        self._thread.join(timeout=5.0)
+        drain()                         # a final put may have raced the join

@@ -141,6 +141,8 @@ def init_auralnet(key, cfg: BiEARConfig):
 def auralnet_forward(params, cfg: BiEARConfig, wavL, wavR, x3=None,
                      rng=None, train: bool = False):
     """Parity: AuralNetActiveWaveform.forward (model_torch.py:1184-1247)."""
+    if train and rng is None:
+        raise ValueError("auralnet_forward(train=True) requires rng")
     wavL = jnp.clip(wavL.astype(jnp.float32), -1.0, 1.0)
     wavR = jnp.clip(wavR.astype(jnp.float32), -1.0, 1.0)
 

@@ -80,7 +80,10 @@ def active_forward(params, cfg: BiEARConfig, wavL, wavR, x3=None,
     wavL = wavL.astype(jnp.float32)
     wavR = wavR.astype(jnp.float32)
 
-    if train and rng is not None:
+    if train:
+        if rng is None:
+            raise ValueError("active_forward(train=True) requires rng for "
+                             "dropout; pass rng= or use train=False")
         k_fb, k_be = jax.random.split(rng)
     else:
         k_fb = k_be = None
@@ -105,6 +108,8 @@ def passive_forward(params, cfg: BiEARConfig, x1, x2, x3, x4, x5,
     """Precomputed features -> heads. Parity: DeepEarTorchILD
     (model_torch.py:938-960). x1/x2: mag feats (B, T, N); x3: CC (B, N);
     x4/x5: phase feats (B, T, N)."""
+    if train and rng is None:
+        raise ValueError("passive_forward(train=True) requires rng")
     z_ild = B.ild_encoder(params["encoder_ild"], x1, x2)
     z_ipd = B.ipd_encoder(params["encoder_ipd"], x4, x5)
     sound, aoa, dist = _heads(params, cfg, z_ild, z_ipd, x3, rng, train)

@@ -65,7 +65,14 @@ class SynthEvalDataset:
         while made < n:
             take = min(batch_size, n - made)
             if test_thirds:
+                # chunks must not straddle third boundaries, or samples of
+                # one source-count third would be generated with another
+                # third's forced count (the reference splits are exactly
+                # 1/3 per count, generate_anechoic_data.py:251-264)
                 ns = 1 if made < third else (2 if made < 2 * third else 3)
+                boundary = third if made < third else (
+                    2 * third if made < 2 * third else n)
+                take = min(take, boundary - made)
             else:
                 ns = n_src
             key, k = _jax.random.split(key)
@@ -97,17 +104,30 @@ class _SynthSource:
 
 
 def _accumulate(sums, metrics, bs):
+    """Epoch metric accumulation, fully ON DEVICE (no per-step host sync,
+    preserving async dispatch) and EXCLUDING skipped/nonfinite batches
+    from the averages — reference semantics (train_biear.py:514-517):
+    a skipped batch increments the skip counter and contributes nothing."""
+    skipped = metrics.get("skipped", jnp.float32(0.0))
+    ok = jnp.logical_and(jnp.isfinite(metrics["loss"]), skipped == 0)
+    w = ok.astype(jnp.float32) * bs
     for k in ("loss", "sound_acc", "aoa_mae", "dist_acc"):
-        sums[k] = sums.get(k, 0.0) + float(metrics[k]) * bs
-    sums["skipped"] = sums.get("skipped", 0) + int(float(metrics.get("skipped", 0)))
-    sums["_n"] = sums.get("_n", 0) + bs
+        sums[k] = sums.get(k, jnp.float32(0.0)) + jnp.where(
+            ok, metrics[k].astype(jnp.float32), 0.0) * bs
+    sums["skipped"] = (sums.get("skipped", jnp.float32(0.0))
+                       + (1.0 - ok.astype(jnp.float32)))
+    sums["_n"] = sums.get("_n", jnp.float32(0.0)) + w
     return sums
 
 
 def _finalize(sums):
-    n = max(sums.pop("_n", 0), 1)
-    skipped = sums.pop("skipped", 0)
-    out = {k: v / n for k, v in sums.items()}
+    """One host sync per epoch: pull the accumulated device scalars."""
+    if not sums:
+        return {"loss": float("nan"), "sound_acc": 0.0,
+                "aoa_mae": float("nan"), "dist_acc": 0.0, "skipped": 0}
+    n = max(float(sums.pop("_n")), 1.0)
+    skipped = int(float(sums.pop("skipped")))
+    out = {k: float(v) / n for k, v in sums.items()}
     out["skipped"] = skipped
     return out
 
@@ -242,29 +262,38 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
                 datasets[name], rc.batch_size, shuffle=training,
                 seed=seed, epoch=epoch), sharding=bsh)
         t0 = time.time()
-        for i, batch in enumerate(it):
-            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                break
-            batch = tuple(jnp.asarray(b) for b in batch)
-            bs = int(batch[0].shape[0])
-            if training:
-                key, k = jax.random.split(key)
-                params, opt_state, m = train_step(params, opt_state, batch,
-                                                  k, jnp.float32(lr_scale))
-                if global_step % rc.hist_every == 0:
-                    logger.scalars("train_step", {
-                        k2: m[k2] for k2 in
-                        ("loss", "sound_acc", "aoa_mae", "dist_acc",
-                         "grad_fb_norm", "grad_backend_norm")}, global_step)
-                if global_step % rc.print_every == 0:
-                    say(f"[step {global_step:06d}] loss={float(m['loss']):.4f}"
-                        f" | sound_acc={float(m['sound_acc']):.3f}"
-                        f" | aoa_mae={float(m['aoa_mae']):.3f}"
-                        f" | dist_acc={float(m['dist_acc']):.3f}")
-                global_step += 1
-            else:
-                m = eval_step(params, batch)
-            sums = _accumulate(sums, m, bs)
+        try:
+            for i, batch in enumerate(it):
+                if (max_steps_per_epoch is not None
+                        and i >= max_steps_per_epoch):
+                    break
+                batch = tuple(jnp.asarray(b) for b in batch)
+                bs = int(batch[0].shape[0])
+                if training:
+                    key, k = jax.random.split(key)
+                    params, opt_state, m = train_step(
+                        params, opt_state, batch, k, jnp.float32(lr_scale))
+                    if global_step % rc.hist_every == 0:
+                        logger.scalars("train_step", {
+                            k2: m[k2] for k2 in
+                            ("loss", "sound_acc", "aoa_mae", "dist_acc",
+                             "grad_fb_norm", "grad_backend_norm")},
+                            global_step)
+                    if global_step % rc.print_every == 0:
+                        say(f"[step {global_step:06d}] "
+                            f"loss={float(m['loss']):.4f}"
+                            f" | sound_acc={float(m['sound_acc']):.3f}"
+                            f" | aoa_mae={float(m['aoa_mae']):.3f}"
+                            f" | dist_acc={float(m['dist_acc']):.3f}")
+                    global_step += 1
+                else:
+                    m = eval_step(params, batch)
+                sums = _accumulate(sums, m, bs)
+        finally:
+            # stopping early (max_steps_per_epoch) must release the
+            # prefetch worker and its queued device batches
+            if hasattr(it, "close"):
+                it.close()
         out = _finalize(sums)
         out["sec"] = time.time() - t0
         logger.scalars(name, {k: v for k, v in out.items() if k != "sec"},

@@ -218,3 +218,31 @@ def test_split_y_matrix_legacy(rng):
     np.testing.assert_array_equal(parts[0], y[:, 0])
     np.testing.assert_array_equal(parts[2], y[:, 2:7])
     np.testing.assert_array_equal(parts[23], y[:, 51:56])
+
+
+def test_prefetcher_close_releases_worker(tmp_path, rng):
+    """Early-stopping consumers call close(); the worker thread must exit
+    instead of blocking forever on a full queue (device-memory leak)."""
+    import time
+    N = 64
+    x = np.arange(N, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)
+    p = str(tmp_path / "c.h5")
+    save_active_h5(p, x, x, x, x)
+    ds = ActiveH5Dataset(p)
+    pf = Prefetcher(batch_iterator(ds, 2, shuffle=False), depth=2)
+    next(pf)                      # consume one, then abandon
+    pf.close()
+    pf._thread.join(timeout=5.0)
+    assert not pf._thread.is_alive()
+    assert pf._q.empty()
+
+
+def test_train_true_requires_rng(rng):
+    from biear_tpu.models import BiEARConfig, active_forward
+    from biear_tpu.models.biear import init_active
+    cfg = BiEARConfig(fs=1600, timesteps=4, n_fft=256, n_bands=24,
+                      fmin=50.0, fmax=700.0, latent_dim=24)
+    params = init_active(jax.random.PRNGKey(0), cfg)
+    w = jnp.zeros((1, 1600))
+    with pytest.raises(ValueError, match="requires rng"):
+        active_forward(params, cfg, w, w, train=True)

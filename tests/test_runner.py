@@ -194,3 +194,38 @@ def test_evaluate_reference_pth_checkpoint(tmp_path, rng):
     res = evaluate(pth, dataset=ds, batch_size=4, quiet=True,
                    out_path=str(tmp_path / "m.json"))
     assert "overall" in res and np.isfinite(res["overall"]["aoa_mae"])
+
+
+def test_synth_eval_thirds_exact(tmp_path):
+    """test_thirds chunks must not straddle third boundaries."""
+    from biear_tpu.train.runner import SynthEvalDataset
+    from biear_tpu.data import (AnechoicSynthesizer, make_test_hrir_bank,
+                                make_test_segments)
+    from biear_tpu.train import unpack_targets
+    ir, az, dist = make_test_hrir_bank()
+    s = AnechoicSynthesizer(ir, az, dist, make_test_segments(4))
+    ds = SynthEvalDataset(s, 96, seed=0, batch_size=64, test_thirds=True)
+    counts = []
+    for b in ds.device_batches():
+        ys = np.asarray(unpack_targets(b[3])[0])
+        counts += ys.sum(1).astype(int).tolist()
+    assert counts == [1] * 32 + [2] * 32 + [3] * 32
+
+
+def test_skipped_batches_excluded_from_epoch_metrics(tmp_path, rng):
+    """A poisoned batch must not NaN the epoch averages (reference
+    train_biear.py:514-517 semantics)."""
+    rc = _tiny_rc(tmp_path)
+    rc.epochs = 1
+    ds = _tiny_h5(tmp_path, rng)
+    # poison ONE train batch's labels: rewrite the h5 with NaNs in rows 0-3
+    import h5py
+    with h5py.File(str(tmp_path / "train.h5"), "r+") as f:
+        y = f["y"][:]
+        y[8:12] = np.nan   # NOT rows 0-3: the sanity check reads those
+        f["y"][...] = y
+    ds["train"] = ActiveH5Dataset(str(tmp_path / "train.h5"))
+    out = train(rc, datasets=ds, quiet=True, run_id="N")
+    tr = out["history"]["train"][0]
+    assert tr["skipped"] >= 1
+    assert np.isfinite(tr["loss"])       # the NaN batch didn't poison it
