@@ -354,6 +354,25 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
             json.dump(te, f, indent=2)
         say(f"Test metrics: {te}")
 
+    # Q visualisation on test batches (train_biear.py:691-700 — a no-op
+    # stub in the reference; real plots here).
+    if rc.active and rc.model_kind == "active":
+        try:
+            import sys
+            sys.path.insert(0, os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))))
+            from visualize_q import visualize_Q_LR
+            if hasattr(datasets.get("test"), "device_batches"):
+                batches = list(datasets["test"].device_batches())[:2]
+            else:
+                batches = [tuple(b) for _, b in zip(range(2), batch_iterator(
+                    datasets["test"], min(rc.batch_size, 8), shuffle=False))]
+            visualize_Q_LR(params, rc.model_cfg, batches, dirs["q_vis"],
+                           max_batches=2, sample_per_batch=1)
+            say(f"[Q-vis] wrote plots to {dirs['q_vis']}")
+        except Exception as e:           # plotting must never fail a run
+            say(f"[Q-vis] skipped: {e}")
+
     logger.close()
     return {"run_dir": dirs["run"], "exp_name": exp_name, "history": history,
             "test": te, "best_tuple": best_tuple, "params": params}
