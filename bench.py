@@ -2,35 +2,66 @@
 """Benchmark: active-mode training throughput (utterances/sec/chip).
 
 Prints ONE JSON line:
-  {"metric": "active_train_utterances_per_sec", "value": N,
-   "unit": "utt/s", "vs_baseline": R}
+  {"metric": "active_train_utterances_per_sec", "value": N, "unit": "utt/s",
+   "vs_baseline": R, "best": ..., "median": ..., "flops_per_utt": ...,
+   "mfu": ..., "device": ...}
 
 The metric is full training steps (fwd + BPTT + optimizer update, flagship
-dual-controller adaptive-Q model) on the default JAX device, at this
-chip's production operating point (batch 1024 with frontend remat; see the
-RESULTS.md batch-scaling table).
+dual-controller adaptive-Q model) on the default JAX device, at this chip's
+production operating point (batch 1024 with frontend remat; see the
+RESULTS.md batch-scaling table). `value` is the MEDIAN of the timed
+windows (the honest expectation through this image's flaky TPU tunnel);
+`best` is the max (the hardware capability). flops_per_utt comes from the
+compiled executable's own cost analysis (XLA's count, not a hand
+estimate), and mfu = achieved FLOP/s / chip peak for the dtype the policy
+actually runs (bf16-class MXU under the default matmul precision).
 
 Baseline: the PyTorch reference publishes no numbers (BASELINE.md), so the
 denominator is the reference implementation itself (its own batch-64
 config), timed on this host (torch, CPU — the only device torch has here)
 the first time bench runs and cached in BENCH_BASELINE.json.
-vs_baseline = ours / reference, both in utterances/sec/chip.
+vs_baseline = median / reference, both in utterances/sec/chip.
+
+--trace DIR dumps a jax.profiler trace of one timed window for kernel-level
+attribution (used by RESULTS.md's where-the-time-goes analysis).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
-BATCH = 1024   # per-chip production operating point (see RESULTS.md scaling table)
+BATCH = 1024   # per-chip production operating point (RESULTS.md scaling table)
 STEPS = 20
+WINDOWS = 5
+
+# Peak dense matmul throughput per chip, bf16 inputs (the default-precision
+# MXU mode), FLOP/s. Sources: public TPU spec sheets.
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+}
 
 
-def measure_ours() -> float:
+def _peak_for(device) -> float | None:
+    kind = getattr(device, "device_kind", "") or ""
+    for name, peak in PEAK_FLOPS.items():
+        if kind.lower().startswith(name.lower()):
+            return peak
+    return None
+
+
+def measure_ours(trace_dir: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -67,18 +98,57 @@ def measure_ours() -> float:
     params, opt_state, m = step(params, opt_state, batch, k, jnp.float32(1.0))
     jax.block_until_ready(m["loss"])
 
-    # best-of-3 timed windows: throughput through the TPU tunnel shows
-    # large run-to-run variance; the max is the honest hardware capability
-    best = 0.0
-    for _ in range(3):
+    # XLA's own FLOP count for the compiled step (per-executable; covers
+    # fwd + BPTT + Adam). Not every backend reports it — null when absent.
+    flops_per_step = None
+    try:
+        ca = step.lower(params, opt_state, batch, k,
+                        jnp.float32(1.0)).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca and ca.get("flops", 0) > 0:
+            flops_per_step = float(ca["flops"])
+    except Exception as e:                           # pragma: no cover
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+
+    rates = []
+    for w in range(WINDOWS):
         t0 = time.perf_counter()
         for _ in range(STEPS):
             key, k = jax.random.split(key)
             params, opt_state, m = step(params, opt_state, batch, k,
                                         jnp.float32(1.0))
         jax.block_until_ready(m["loss"])
-        best = max(best, BATCH * STEPS / (time.perf_counter() - t0))
-    return best
+        rates.append(BATCH * STEPS / (time.perf_counter() - t0))
+
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            for _ in range(4):
+                key, k = jax.random.split(key)
+                params, opt_state, m = step(params, opt_state, batch, k,
+                                            jnp.float32(1.0))
+            jax.block_until_ready(m["loss"])
+        print(f"[bench] profiler trace written to {trace_dir}",
+              file=sys.stderr)
+
+    median = statistics.median(rates)
+    dev = jax.devices()[0]
+    peak = _peak_for(dev)
+    out = {
+        "median": median,
+        "best": max(rates),
+        "windows": [round(r, 1) for r in rates],
+        "flops_per_utt": (flops_per_step / BATCH
+                          if flops_per_step else None),
+        "device": getattr(dev, "device_kind", str(dev)),
+    }
+    if flops_per_step and peak:
+        # achieved FLOP/s = steps/s * flops/step; steps/s = median / BATCH
+        out["mfu"] = round((median / BATCH) * flops_per_step / peak, 4)
+        out["peak_flops_assumed"] = peak
+    else:
+        out["mfu"] = None
+    return out
 
 
 def measure_reference() -> float | None:
@@ -143,7 +213,12 @@ def measure_reference() -> float | None:
 
 
 def main():
-    ours = measure_ours()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="dump a jax.profiler trace of one window")
+    args = ap.parse_args()
+
+    ours = measure_ours(trace_dir=args.trace)
 
     baseline = None
     if os.path.exists(BASELINE_CACHE):
@@ -159,12 +234,19 @@ def main():
                             "batch 64, measured on this host's torch device",
                 }, f, indent=2)
 
-    vs = (ours / baseline) if baseline else None
+    vs = (ours["median"] / baseline) if baseline else None
     print(json.dumps({
         "metric": "active_train_utterances_per_sec",
-        "value": round(ours, 2),
+        "value": round(ours["median"], 2),
         "unit": "utt/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "best": round(ours["best"], 2),
+        "windows": ours["windows"],
+        "flops_per_utt": (round(ours["flops_per_utt"])
+                          if ours["flops_per_utt"] else None),
+        "mfu": ours["mfu"],
+        "device": ours["device"],
+        "batch": BATCH,
     }))
 
 

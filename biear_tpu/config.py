@@ -56,6 +56,7 @@ class RunConfig:
     synth_on_device: bool = False
     preload_h5: bool = True
     model_kind: str = "active"      # active | passive | auralnet
+    matmul_precision: str = "default"
     raw: dict = dataclasses.field(default_factory=dict)
 
 
@@ -119,8 +120,36 @@ def load_run_config(path: str) -> RunConfig:
         synth_on_device=bool(cfg.get("SYNTH_ON_DEVICE", False)),
         preload_h5=bool(cfg.get("PRELOAD_H5", True)),
         model_kind=kind,
+        matmul_precision=str(cfg.get("MATMUL_PRECISION", "default")).lower(),
         raw=cfg,
     )
+
+
+_PRECISION_NAMES = ("default", "bfloat16", "tensorfloat32", "high",
+                    "highest", "float32")
+
+
+def apply_matmul_precision(name: str) -> str:
+    """Set the process-wide default matmul precision policy.
+
+    THE PRECISION POLICY: on TPU, jnp matmuls/einsums without an explicit
+    precision run the MXU in bf16-input mode ("default") — fastest, and the
+    production default for the GRU/Linear backend. The physics-critical
+    filterbank contractions always pin Precision.HIGHEST explicitly
+    (ops/filterbank.py:61-63) regardless of this policy, so the frontend's
+    numbers are f32-class in every mode. Parity with the torch reference is
+    certified at "highest" (tests/test_model_parity.py); the measured
+    default-vs-highest delta on hardware is covered by
+    tests/test_precision.py::test_tpu_precision_policy_tolerance.
+    """
+    name = str(name).lower()
+    if name not in _PRECISION_NAMES:
+        raise ValueError(f"MATMUL_PRECISION must be one of "
+                         f"{_PRECISION_NAMES}, got {name!r}")
+    if name != "default":
+        import jax
+        jax.config.update("jax_default_matmul_precision", name)
+    return name
 
 
 def _slug(x: str) -> str:
@@ -204,6 +233,7 @@ def settings_dict(rc: RunConfig, run_id: str, exp_name: str) -> dict:
         DELTAQ_HIGH_FACTOR=m.deltaQ_high_factor,
         DELTAQ_MODE=m.deltaQ_mode,
         MODEL_KIND=rc.model_kind,
+        MATMUL_PRECISION=rc.matmul_precision,
         comments=rc.comments,
         # Extension: full signal geometry, so evaluate can rebuild any
         # non-default model (the reference hardcodes these).

@@ -47,13 +47,16 @@ class AnechoicSynthesizer:
     """
 
     def __init__(self, ir, az_deg, dist_m, segments, fs: int = 16000,
-                 max_sources: int = 3, n_sectors: int = N_SECTORS):
+                 max_sources: int = 3, n_sectors: int = N_SECTORS,
+                 num_lags: int = 100):
         ir = np.asarray(ir, np.float32)
         az = np.asarray(az_deg, np.float64) % 360.0
         dist = np.asarray(dist_m, np.float64)
         self.fs = int(fs)
         self.max_sources = int(max_sources)
         self.n_sectors = int(n_sectors)
+        self.num_lags = int(num_lags)
+        self._out_sharding = None
         M, _, L = ir.shape
         self.ir_len = L
 
@@ -77,6 +80,11 @@ class AnechoicSynthesizer:
         in_sector = az - sec_of * width
         norm = np.minimum((in_sector + 1e-3) / width, 1.0)
         dcls = np.argmin(np.abs(DIST_CLASSES[None, :] - dist[:, None]), axis=1)
+        # Host-side metadata tables for sample_batch_meta (offline writer).
+        self._az_np = az                                       # (M,)
+        self._dist_np = dist                                   # (M,)
+        self._dcls_np = dcls.astype(np.int64)                  # (M,)
+        self._sec_np = sec_of.astype(np.int64)                 # (M,)
 
         # HRIR spectra precomputed once: (M, 2, F) complex.
         self._fft_len = _next_pow2(self.fs + L - 1)
@@ -115,8 +123,11 @@ class AnechoicSynthesizer:
         active = (jnp.arange(MS) < n_src)                        # (MS,)
 
         sectors = jax.random.permutation(ks[1], S)[:MS]          # distinct
-        kq = jax.random.randint(ks[2], (MS,), 0, 2 ** 30)
-        kslot = kq % jnp.asarray(self._sector_counts)[sectors]
+        # uniform in-sector pick: floor(u * count) is unbiased for any
+        # per-sector count (a modulo of a bounded int is not)
+        u = jax.random.uniform(ks[2], (MS,))
+        counts = jnp.asarray(self._sector_counts)[sectors]
+        kslot = jnp.minimum((u * counts).astype(jnp.int32), counts - 1)
         meas = jnp.asarray(self._sector_table)[sectors, kslot]   # (MS,)
 
         n_segs = bank["segments"].shape[0]
@@ -149,23 +160,61 @@ class AnechoicSynthesizer:
         onehot = base.at[sectors].set(rows)
         y = jnp.concatenate(
             [sound[:, None], angle[:, None], onehot], axis=1).reshape(-1)
-        return y_lr[0], y_lr[1], y
+        # slot metadata, all float32 (the TPU tunnel only transfers f32)
+        meta = {"meas": meas.astype(jnp.float32),              # (MS,)
+                "sector_id": sectors.astype(jnp.float32),
+                "active": maskf}
+        return y_lr[0], y_lr[1], y, meta
+
+    def set_output_sharding(self, sharding) -> None:
+        """Emit batches already laid out for the training mesh (batch axis
+        sharded over 'data'): the sampler's outputs get a
+        with_sharding_constraint so XLA materialises them sharded instead
+        of the runner implicitly resharding a single-device batch every
+        step. The sharding rides the jit cache as a static argument."""
+        self._out_sharding = sharding
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def _batch(self, bank, key, batch_size: int, n_src_fixed: int,
+               out_sharding=None):
+        keys = jax.random.split(key, batch_size)
+        wavL, wavR, y, _ = jax.vmap(
+            lambda k: self._one(bank, k, n_src_fixed))(keys)
+        x3 = cross_correlation_feature(wavL, wavR, self.fs,
+                                       num_lags=self.num_lags)
+        out = (wavL, wavR, x3, y)
+        if out_sharding is not None:
+            out = jax.lax.with_sharding_constraint(
+                out, (out_sharding,) * len(out))
+        return out
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-    def _batch(self, bank, key, batch_size: int, n_src_fixed: int):
+    def _batch_meta(self, bank, key, batch_size: int, n_src_fixed: int):
         keys = jax.random.split(key, batch_size)
-        wavL, wavR, y = jax.vmap(
+        wavL, wavR, y, meta = jax.vmap(
             lambda k: self._one(bank, k, n_src_fixed))(keys)
-        x3 = cross_correlation_feature(wavL, wavR, self.fs)
-        return wavL, wavR, x3, y
+        x3 = cross_correlation_feature(wavL, wavR, self.fs,
+                                       num_lags=self.num_lags)
+        return wavL, wavR, x3, y, meta
 
     def sample_batch(self, key, batch_size: int, n_src: int | None = None):
-        """(wavL, wavR, x3, y) with shapes (B, fs) x2, (B, 100), (B, 56).
+        """(wavL, wavR, x3, y) with shapes (B, fs) x2, (B, num_lags),
+        (B, 56).
 
         n_src=None -> Uniform{1..max_sources} per sample (train/val);
         n_src=k    -> forced source count (test-split construction)."""
         return self._batch(self._bank, key, batch_size,
-                           0 if n_src is None else int(n_src))
+                           0 if n_src is None else int(n_src),
+                           self._out_sharding)
+
+    def sample_batch_meta(self, key, batch_size: int,
+                          n_src: int | None = None):
+        """Like sample_batch plus per-sample metadata (measurement index
+        per slot, sector, active mask) so the offline writer can emit the
+        reference's exact label fields — continuous aoa_deg and real
+        distance_m (generate_anechoic_data.py:266-281)."""
+        return self._batch_meta(self._bank, key, batch_size,
+                                0 if n_src is None else int(n_src))
 
 
 # ---------------- fixtures for tests / benchmarks ----------------

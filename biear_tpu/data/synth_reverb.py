@@ -53,6 +53,34 @@ SPIRIT_SPEAKER_XY = np.array([
     [-1.00, 1.73], [0.00, 2.00], [1.00, 1.73],
 ])
 
+# Room-scene distance labelling constants (generate_spirit_data.py:37-41).
+OTHER_THRESH_M = 3.0
+OTHER_CLASS_ID = 4
+
+SCENE_SPEAKER_XY = {
+    "auditorium": AUDITORIUM3_SPEAKER_XY,
+    "room": AUDITORIUM3_SPEAKER_XY,          # legacy alias
+    "spirit": SPIRIT_SPEAKER_XY,
+}
+
+
+def scene_speaker_xy(scene: str, n_emitters: int) -> np.ndarray:
+    """Loudspeaker (x, y) table for a named room scene, checked against the
+    BRIR's emitter count. A Spirit SOFA must get Spirit geometry — wrong
+    coordinates mean wrong distances AND wrong world azimuths (the
+    reference ships one generator per room: generate_auditorium_data.py:56-65,
+    generate_spirit_data.py:57-63)."""
+    key = str(scene).lower()
+    if key not in SCENE_SPEAKER_XY:
+        raise ValueError(f"unknown room scene {scene!r}; "
+                         f"known: {sorted(SCENE_SPEAKER_XY)}")
+    xy = SCENE_SPEAKER_XY[key]
+    if n_emitters > len(xy):
+        raise ValueError(
+            f"scene {scene!r} defines {len(xy)} loudspeakers but the BRIR "
+            f"bank has {n_emitters} emitters — wrong scene for this SOFA?")
+    return xy[:n_emitters]
+
 
 class ReverbSynthesizer:
     """Batched on-device sampler over a head-rotation BRIR bank.
@@ -64,12 +92,15 @@ class ReverbSynthesizer:
     """
 
     def __init__(self, ir, head_yaw, speaker_xy, segments, fs: int = 16000,
-                 max_sources: int = 3, other_policy: str = "clamp"):
+                 max_sources: int = 3, other_policy: str = "clamp",
+                 num_lags: int = 100):
         ir = np.asarray(ir, np.float32)
         M, R, E, L = ir.shape
         assert R == 2
         self.fs = int(fs)
         self.max_sources = int(max_sources)
+        self.num_lags = int(num_lags)
+        self._out_sharding = None
         self.ir_len = L
         self.n_speakers = E
 
@@ -87,6 +118,14 @@ class ReverbSynthesizer:
         norm = np.minimum((rel - sec * width + 1e-3) / width, 1.0)
 
         dcls = np.array([dist_class_5(d) for d in sp_dist], np.int64)
+        # Host-side metadata tables for sample_batch_meta (the offline
+        # writer's label-fidelity path: true distances, head yaw, true
+        # 5-class ids including "other").
+        self._yaw_np = yaw.astype(np.float64)                 # (M,)
+        self._sp_dist_np = sp_dist.astype(np.float64)         # (E,)
+        self._sp_az_world_np = sp_az_world.astype(np.float64)  # (E,)
+        self._rel_np = rel.astype(np.float64)                 # (M, E)
+        self._dcls_np = dcls                                  # (E,) true class
         if other_policy == "clamp":
             onehot_idx = np.minimum(dcls + 1, N_DIST_CLASSES - 1)
         elif other_policy == "strict":
@@ -184,19 +223,54 @@ class ReverbSynthesizer:
         onehot = base.at[secs].set(rows)
         y = jnp.concatenate(
             [sound[:, None], angle[:, None], onehot], axis=1).reshape(-1)
-        return y_lr[0], y_lr[1], y
+        # slot metadata, all float32 (this image's TPU tunnel only
+        # transfers f32; hosts re-derive int fields from these)
+        meta = {"head_index": jnp.float32(m),
+                "speaker_id": speakers.astype(jnp.float32),    # (MS,)
+                "sector_id": chosen_sectors.astype(jnp.float32),
+                "active": maskf}
+        return y_lr[0], y_lr[1], y, meta
+
+    def set_output_sharding(self, sharding) -> None:
+        """See AnechoicSynthesizer.set_output_sharding."""
+        self._out_sharding = sharding
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def _batch(self, bank, key, batch_size: int, n_src_fixed: int,
+               out_sharding=None):
+        keys = jax.random.split(key, batch_size)
+        wavL, wavR, y, _ = jax.vmap(
+            lambda k: self._one(bank, k, n_src_fixed))(keys)
+        x3 = cross_correlation_feature(wavL, wavR, self.fs,
+                                       num_lags=self.num_lags)
+        out = (wavL, wavR, x3, y)
+        if out_sharding is not None:
+            out = jax.lax.with_sharding_constraint(
+                out, (out_sharding,) * len(out))
+        return out
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-    def _batch(self, bank, key, batch_size: int, n_src_fixed: int):
+    def _batch_meta(self, bank, key, batch_size: int, n_src_fixed: int):
         keys = jax.random.split(key, batch_size)
-        wavL, wavR, y = jax.vmap(
+        wavL, wavR, y, meta = jax.vmap(
             lambda k: self._one(bank, k, n_src_fixed))(keys)
-        x3 = cross_correlation_feature(wavL, wavR, self.fs)
-        return wavL, wavR, x3, y
+        x3 = cross_correlation_feature(wavL, wavR, self.fs,
+                                       num_lags=self.num_lags)
+        return wavL, wavR, x3, y, meta
 
     def sample_batch(self, key, batch_size: int, n_src: int | None = None):
         return self._batch(self._bank, key, batch_size,
-                           0 if n_src is None else int(n_src))
+                           0 if n_src is None else int(n_src),
+                           self._out_sharding)
+
+    def sample_batch_meta(self, key, batch_size: int,
+                          n_src: int | None = None):
+        """Like sample_batch plus a per-sample metadata dict (head index,
+        chosen speaker/sector per slot, active mask) — enough for an offline
+        writer to emit reference-fidelity labels (true distance_m, head yaw,
+        5-class ids including 'other'; generate_spirit_data.py:380-404)."""
+        return self._batch_meta(self._bank, key, batch_size,
+                                0 if n_src is None else int(n_src))
 
 
 def make_test_brir_bank(n_yaw: int = 24, ir_len: int = 1200, seed: int = 0,

@@ -68,3 +68,30 @@ def shard_params(params, mesh: Mesh):
     specs = param_pspecs(params, mesh.shape["model"] > 1)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def shard_opt_state(opt_state, params, mesh: Mesh):
+    """Commit every optimizer-state leaf to the mesh.
+
+    Adam moments mirror the param tree (inside optax's masked/multi_transform
+    wrappers, so at a deeper path whose TAIL is the param path) and get the
+    matching param spec; everything else (step counts, scalars) replicates.
+    Without this, optax's eagerly-initialised state enters the first train
+    step UNCOMMITTED while every later step sees the jit outputs' committed
+    NamedShardings — one wasted full compile of the step (5-10 minutes
+    through this image's TPU tunnel)."""
+    from jax.tree_util import tree_leaves_with_path, tree_map_with_path, keystr
+    specs = param_pspecs(params, mesh.shape["model"] > 1)
+    spec_leaves = jax.tree.leaves(
+        specs, is_leaf=lambda x: isinstance(x, P))
+    pindex = [(keystr(p), s) for (p, _), s in
+              zip(tree_leaves_with_path(params), spec_leaves)]
+
+    def place(path, x):
+        ks = keystr(path)
+        for pk, s in pindex:
+            if ks.endswith(pk) and getattr(x, "shape", None) is not None:
+                return jax.device_put(x, NamedSharding(mesh, s))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return tree_map_with_path(place, opt_state)

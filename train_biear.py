@@ -40,37 +40,24 @@ def main():
     synth = None
     if rc.synth_on_device:
         import numpy as np
-        from biear_tpu.data.synth import (AnechoicSynthesizer,
-                                          make_test_hrir_bank,
-                                          make_test_segments)
-        from biear_tpu.data.synth_reverb import (ReverbSynthesizer,
-                                                 make_test_brir_bank,
-                                                 AUDITORIUM3_SPEAKER_XY)
+        from biear_tpu.data.synth import make_test_segments
+        from tools.generate_binaural_data import build_synthesizer
         sofa = rc.raw.get("SOFA_FILE")
         segs_npy = rc.raw.get("SEGMENT_POOL")
+        # SCENE: anechoic | auditorium | spirit ('room' = auditorium).
+        # Scene-correct speaker geometry + 4-tier head-yaw extraction live
+        # in build_synthesizer (a Spirit SOFA must never silently get
+        # Auditorium coordinates).
         scene = str(rc.raw.get("SCENE", "anechoic")).lower()
+        scene = "auditorium" if scene == "room" else scene
         segments = (np.load(segs_npy) if segs_npy
                     else make_test_segments(64))
-        if scene == "room":
-            if sofa and os.path.exists(sofa):
-                from tools.sofa_io import load_sofa_brir
-                ir, view, _ = load_sofa_brir(sofa, rc.model_cfg.fs)
-                yaw = (np.degrees(np.arctan2(view[:, 1], view[:, 0])) % 360.0
-                       if view is not None and view.ndim == 2
-                       else np.linspace(-90.0, 90.0, ir.shape[0]) % 360.0)
-                sxy = AUDITORIUM3_SPEAKER_XY[:ir.shape[2]]
-            else:
-                ir, yaw, sxy = make_test_brir_bank()
-            synth = ReverbSynthesizer(ir, yaw, sxy, segments,
-                                      fs=rc.model_cfg.fs)
-        else:
-            if sofa and os.path.exists(sofa):
-                from tools.sofa_io import load_sofa_hrir
-                ir, az, dist = load_sofa_hrir(sofa, fs_target=rc.model_cfg.fs)
-            else:
-                ir, az, dist = make_test_hrir_bank()
-            synth = AnechoicSynthesizer(ir, az, dist, segments,
-                                        fs=rc.model_cfg.fs)
+        if sofa and not os.path.exists(sofa):
+            print(f"[Scene] SOFA_FILE {sofa!r} not found; "
+                  f"using the built-in {scene} test bank")
+            sofa = None
+        synth = build_synthesizer(scene, sofa, segments, rc.model_cfg.fs,
+                                  num_lags=rc.model_cfg.n_bands)
 
     out = train(rc, synth=synth, seed=args.seed, quiet=args.quiet,
                 max_steps_per_epoch=args.max_steps_per_epoch,
