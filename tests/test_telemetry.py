@@ -36,11 +36,13 @@ def test_grad_histograms_counts(tiny):
     assert h.shape == (len(leaves), len(GRAD_HIST_EDGES) + 1)
     np.testing.assert_array_equal(h.sum(1),
                                   [l.size for l in leaves])
-    # a hand-made leaf: values 0 (underflow), 1e-6, 1e5 (overflow)
-    g = {"a": jnp.asarray([0.0, 1e-6, 1e5], jnp.float32)}
+    # a hand-made leaf: values 0 (underflow), 3e-6 (mid-bucket — an exact
+    # power of ten would sit ON an edge, where f32 vs f64 searchsorted can
+    # legitimately differ by one), 1e5 (overflow)
+    g = {"a": jnp.asarray([0.0, 3e-6, 1e5], jnp.float32)}
     row = np.asarray(_grad_histograms(g, 10))[0]
     assert row[0] == 1 and row[-1] == 1 and row.sum() == 3
-    bucket = np.searchsorted(GRAD_HIST_EDGES, 1e-6)
+    bucket = np.searchsorted(GRAD_HIST_EDGES, np.float32(3e-6))
     assert row[bucket] == 1
 
 

@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Run the reference's full experiment protocol at reference scale.
+
+Protocol shape (generate_anechoic_data.py:22-27, conf/config.yaml:7-8):
+72k train / 9k val / 9k test1 (training speech pool) / 9k test2 (UNSEEN
+speech pool — the reference's TIMIT-TEST split), batch 64, 150 epochs.
+Training data comes from the on-device synthesizer (no H5 precompute);
+test1/test2 are fixed on-device splits built 1/3-1/3-1/3 by source count.
+
+Per config this writes, under the run dir:
+  logs_json/test_metrics.json            (runner's test1 pass, train-metric defs)
+  evaluate_biear_metrics_test1.json      (per-n_src + degree AoA, pool A)
+  evaluate_biear_metrics_test2.json      (same, UNSEEN pool B)
+
+Usage (flagship + the paper's ablation axis):
+  python tools/run_full_protocol.py --config conf/config.yaml
+  python tools/run_full_protocol.py --config conf/config.yaml --fixed-q
+  python tools/run_full_protocol.py --config conf/config_single_ctrl.yaml
+Scale overrides (smoke test): --train-size 7200 --epochs 3 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def predictions_on_device(params, cfg, dataset, model_kind="active"):
+    """Run the forward over a SynthEvalDataset's device batches; pull ONLY
+    the small prediction arrays host-side (the waveforms never cross the
+    tunnel)."""
+    import jax
+    from biear_tpu.models import active_forward, auralnet_forward
+    from biear_tpu.train.losses import sanitize_x3, sanitize_wav
+
+    fwd = auralnet_forward if model_kind == "auralnet" else active_forward
+
+    @jax.jit
+    def step(p, wavL, wavR, x3):
+        wavL, wavR = sanitize_wav(wavL, wavR)
+        return fwd(p, cfg, wavL, wavR, sanitize_x3(x3), train=False)[:3]
+
+    souts, aouts, douts, ys = [], [], [], []
+    for batch in dataset.device_batches():
+        wavL, wavR, x3, y = batch[:4]
+        s, a, d = step(params, wavL, wavR, x3)
+        souts.append(np.asarray(s)); aouts.append(np.asarray(a))
+        douts.append(np.asarray(d)); ys.append(np.asarray(y))
+    return (np.concatenate(souts), np.concatenate(aouts),
+            np.concatenate(douts), np.concatenate(ys))
+
+
+def full_metrics(s_all, a_all, d_all, y_all):
+    """evaluate_biear-parity metrics: overall + per-n_src + degree AoA."""
+    from biear_tpu.train.evaluate import (extract_gt_arrays,
+                                          extract_pred_arrays,
+                                          compute_metrics_like_train)
+    sound_gt, aoa_gt_norm, aoa_gt_deg, dist_gt = extract_gt_arrays(y_all)
+    sound_pred, aoa_pred_norm, aoa_pred_deg, dist_pred = extract_pred_arrays(
+        s_all, a_all, d_all)
+    out = {"overall": compute_metrics_like_train(
+        sound_gt, sound_pred, aoa_gt_norm, aoa_pred_norm, dist_gt,
+        dist_pred, aoa_gt_deg, aoa_pred_deg)}
+    n_sources = (sound_gt > 0.5).sum(1)
+    for n_src in (1, 2, 3):
+        m = n_sources == n_src
+        if m.sum():
+            out[f"{n_src}spk"] = compute_metrics_like_train(
+                sound_gt[m], sound_pred[m], aoa_gt_norm[m],
+                aoa_pred_norm[m], dist_gt[m], dist_pred[m],
+                aoa_gt_deg[m], aoa_pred_deg[m])
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="conf/config.yaml")
+    ap.add_argument("--scene", default="anechoic",
+                    choices=("anechoic", "auditorium", "spirit"))
+    ap.add_argument("--train-size", type=int, default=72000)
+    ap.add_argument("--eval-size", type=int, default=9000)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--fixed-q", action="store_true",
+                    help="override FIXED_FRONTEND_Q: true (ablation)")
+    ap.add_argument("--pool-size", type=int, default=256,
+                    help="synthetic speech segments per pool")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--runs-root", default=None)
+    ap.add_argument("--comments", default=None)
+    args = ap.parse_args()
+
+    from biear_tpu.utils.platform import honor_platform_env
+    honor_platform_env()
+    import jax
+
+    from biear_tpu.config import load_run_config
+    from biear_tpu.data.synth import make_test_segments
+    from biear_tpu.train.runner import train, SynthEvalDataset
+    from tools.generate_binaural_data import build_synthesizer
+
+    rc = load_run_config(args.config)
+    if args.epochs is not None:
+        rc.epochs = args.epochs
+    if args.batch_size is not None:
+        rc.batch_size = args.batch_size
+    if args.fixed_q:
+        rc.fixed_frontend_q = True
+        rc.model_cfg.fixed_frontend_q = True
+    if args.runs_root:
+        rc.runs_root = args.runs_root
+    if args.comments is not None:
+        rc.comments = args.comments
+    rc.synth_on_device = True
+    rc.raw["SYNTH_STEPS_PER_EPOCH"] = max(args.train_size // rc.batch_size, 1)
+    rc.raw["SYNTH_EVAL_SAMPLES"] = args.eval_size
+
+    # Pool A = "TIMIT TRAIN" stand-in (train/val/test1); pool B = unseen
+    # speakers ("TIMIT TEST", generate_anechoic_data.py:22-27).
+    pool_a = make_test_segments(args.pool_size, seed=args.seed + 1)
+    pool_b = make_test_segments(args.pool_size, seed=args.seed + 9999)
+    synth_a = build_synthesizer(args.scene, None, pool_a, rc.model_cfg.fs,
+                                num_lags=rc.model_cfg.n_bands)
+
+    print(f"[protocol] {args.train_size} train x {rc.epochs} epochs, "
+          f"bs={rc.batch_size}, eval={args.eval_size}, scene={args.scene}, "
+          f"fixed_q={rc.fixed_frontend_q}, ctrl={rc.controller_mode}")
+    out = train(rc, synth=synth_a, seed=args.seed)
+    run_dir = out["run_dir"]
+    params = out["params"]
+
+    # test1 = pool A, fresh seed; test2 = UNSEEN pool B. Both 1/3-1/3-1/3.
+    synth_b = build_synthesizer(args.scene, None, pool_b, rc.model_cfg.fs,
+                                num_lags=rc.model_cfg.n_bands)
+    for name, synth, seed_off in (("test1", synth_a, 777),
+                                  ("test2", synth_b, 888)):
+        ds = SynthEvalDataset(synth, args.eval_size, args.seed + seed_off,
+                              rc.batch_size, test_thirds=True)
+        preds = predictions_on_device(params, rc.model_cfg, ds,
+                                      rc.model_kind)
+        metrics = full_metrics(*preds)
+        path = os.path.join(run_dir, f"evaluate_biear_metrics_{name}.json")
+        with open(path, "w") as f:
+            json.dump(metrics, f, indent=2)
+        o = metrics["overall"]
+        print(f"[{name}] sound_acc={o['sound_acc']*100:.2f}% "
+              f"aoa_mae={o['aoa_mae']:.4f} ({o['aoa_mae_deg']:.2f} deg, "
+              f"masked {o['aoa_mae_deg_masked']:.2f} deg) "
+              f"dist_acc={o['dist_acc']*100:.2f}%")
+    print("[protocol] done:", run_dir)
+
+
+if __name__ == "__main__":
+    main()
