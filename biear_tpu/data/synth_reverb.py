@@ -263,6 +263,27 @@ class ReverbSynthesizer:
                            0 if n_src is None else int(n_src),
                            self._out_sharding)
 
+    def batch_fn(self, batch_size: int, n_src: int | None = None):
+        """Pure (key) -> batch closure for use INSIDE a caller's jit — see
+        AnechoicSynthesizer.batch_fn."""
+        bank = self._bank
+        nsf = 0 if n_src is None else int(n_src)
+        sharding = self._out_sharding
+
+        def fn(key):
+            keys = jax.random.split(key, batch_size)
+            wavL, wavR, y, _ = jax.vmap(
+                lambda k: self._one(bank, k, nsf))(keys)
+            x3 = cross_correlation_feature(wavL, wavR, self.fs,
+                                           num_lags=self.num_lags)
+            out = (wavL, wavR, x3, y)
+            if sharding is not None:
+                out = jax.lax.with_sharding_constraint(
+                    out, (sharding,) * len(out))
+            return out
+
+        return fn
+
     def sample_batch_meta(self, key, batch_size: int,
                           n_src: int | None = None):
         """Like sample_batch plus a per-sample metadata dict (head index,

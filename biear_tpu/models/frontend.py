@@ -79,32 +79,47 @@ def frontend_constants(cfg: BiEARConfig):
     }
 
 
-def _pallas_enabled() -> bool:
-    """BIEAR_USE_PALLAS=1 opts into the Pallas fused filterbank kernel.
+def _pallas_mode() -> str:
+    """BIEAR_USE_PALLAS selects the kernel ladder rung (see RESULTS.md):
 
-    Default OFF by measurement: on v5e the XLA path runs the full train
-    step at 32.3k utt/s vs 29.9k with the kernel — XLA already fuses the
-    Gaussian build into the contraction loop, so the kernel's VMEM
-    residency saves no HBM traffic here. The kernel stays maintained (and
-    parity-tested, incl. gradients) as the substrate for deeper per-frame
-    fusion in later optimisation rounds."""
+      off  (default) — pure XLA; exp build fused into the contraction.
+      v1   — legacy whole-W-in-VMEM forward kernel, XLA backward.
+      fb2  — chunked-W forward AND backward Pallas kernels (the backward
+             is where XLA materialises (B,N,F) HBM intermediates).
+      step — the whole scan step (FB + phase inputs + GRU controller +
+             MLP head) fused into one kernel; backward = fb2 + XLA
+             controller. Dual-controller mode only; other modes fall back
+             to fb2 behaviour.
+
+    The default is chosen by measurement on v5e (tools/bench_kernels.py);
+    '1'/'true' are kept as aliases for v1 for round-1 compatibility."""
     import os
-    return os.environ.get("BIEAR_USE_PALLAS", "0").lower() in ("1", "true",
-                                                               "on")
+    v = os.environ.get("BIEAR_USE_PALLAS", "off").lower()
+    return {"0": "off", "false": "off", "": "off", "1": "v1", "true": "v1",
+            "on": "v1"}.get(v, v)
+
+
+def _pallas_tile_b() -> int:
+    import os
+    return int(os.environ.get("BIEAR_PALLAS_TILE_B", "32"))
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_fb_apply(cfg: BiEARConfig, use_pallas: bool):
-    """(Q (B,N), Xmag, Xre, Xim (B,F)) -> (Y, Zre, Zim), via the Pallas
-    fused kernel when enabled, else the jnp path."""
+def _fused_fb_apply(cfg: BiEARConfig, mode: str):
+    """(Q (B,N), Xmag, Xre, Xim (B,F)) -> (Y, Zre, Zim), via the selected
+    Pallas kernel, else the jnp path."""
     c = frontend_constants(cfg)
-    if not use_pallas:
+    if mode in ("off", "step"):
         fc = c["fc"]
         f_fft = c["f_fft"]
         return lambda Q, xm, xr, xi: filterbank_apply(Q, fc, f_fft, xm, xr, xi)
 
-    from ..ops.pallas.fb_kernel import make_fb_apply
-    kernel = make_fb_apply(c["fc"], c["f_fft"])
+    if mode == "fb2":
+        from ..ops.pallas.fb_kernel2 import make_fb_apply2
+        kernel = make_fb_apply2(c["fc"], c["f_fft"], tile_b=_pallas_tile_b())
+    else:
+        from ..ops.pallas.fb_kernel import make_fb_apply
+        kernel = make_fb_apply(c["fc"], c["f_fft"])
 
     def apply(Q, xm, xr, xi):
         out = kernel(Q, jnp.stack([xm, xr, xi], axis=1))
@@ -186,7 +201,8 @@ def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
     fused with the phase extraction of model_torch.py:1039-1063.
     """
     c = frontend_constants(cfg)
-    fb_apply = _fused_fb_apply(cfg, _pallas_enabled())
+    mode = _pallas_mode()
+    fb_apply = _fused_fb_apply(cfg, mode)
     B = Xmag.shape[0]
     T = cfg.timesteps
     Q_init = jnp.broadcast_to(c["Q0"][None], (B, cfg.n_bands))
@@ -197,9 +213,40 @@ def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
     else:
         step_keys = jnp.zeros((T, 2), jnp.uint32)
 
+    use_step_kernel = (mode == "step") and not cfg.freeze_q
+    if use_step_kernel:
+        from ..ops.pallas.scan_step import make_scan_step, pack_controller
+        step_op = make_scan_step(c["fc"], c["f_fft"], cfg.n_bands,
+                                 cfg.ctrl_hidden, tile_b=_pallas_tile_b())
+        pp = pack_controller(p_ctrl, cfg.n_bands, cfg.ctrl_hidden)
+
+    def _drop_masks(key):
+        """Mirror controller_step's dropout stream exactly: split the step
+        key, one bernoulli per MLP dropout, pre-scaled to {0, 1/keep}."""
+        if not (train and rng is not None) or cfg.ctrl_dropout <= 0.0:
+            ones = jnp.ones((B, cfg.ctrl_hidden), jnp.float32)
+            return ones, ones
+        keep = 1.0 - cfg.ctrl_dropout
+        k1, k2 = jax.random.split(key)
+        m = lambda k: jnp.where(
+            jax.random.bernoulli(k, keep, (B, cfg.ctrl_hidden)),
+            1.0 / keep, 0.0)
+        return m(k1), m(k2)
+
     def step(carry, xs):
         Q, h = carry
         xmag, xre, xim, key = xs
+
+        if use_step_kernel:
+            m1, m2 = _drop_masks(key)
+            X3 = jnp.stack([xmag, xre, xim], axis=1)
+            out3, delta, h = step_op(pp, Q, h, X3, m1, m2)
+            Y = jnp.nan_to_num(out3[:, 0], nan=0.0, posinf=0.0, neginf=0.0)
+            out = (Y, Q, band_phase(out3[:, 1], out3[:, 2]))
+            Qn = _next_q(cfg, c, delta)
+            Qn, h = _finite_reset(Qn, h, c["Q0"][None])
+            return (Qn, h), out
+
         Y, Zre, Zim = fb_apply(Q, xmag, xre, xim)
         phase = band_phase(Zre, Zim)
         out = (Y, Q, phase)
@@ -305,7 +352,7 @@ def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
         return YL, YR, QL, QR, phL, phR
 
     c = frontend_constants(cfg)
-    fb_apply = _fused_fb_apply(cfg, _pallas_enabled())
+    fb_apply = _fused_fb_apply(cfg, _pallas_mode())
     p_ctrl = params["ctrl"]
     B = wavL.shape[0]
     T = cfg.timesteps

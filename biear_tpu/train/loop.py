@@ -148,6 +148,32 @@ def _loss_fn(model: str):
     return functools.partial(_active_loss, model=model)
 
 
+def _train_step_core(loss_impl, cfg, hp, optimizer, max_param_log,
+                     params, opt_state, batch, rng, lr_scale):
+    """Unjitted step body shared by the per-batch step and the fused
+    multi-step chunk runner."""
+    def lf(p):
+        return loss_impl(p, cfg, hp, batch, rng, True)
+
+    (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
+
+    updates, new_opt_state = optimizer.update(grads, opt_state, params)
+    updates = jax.tree.map(lambda u: u * lr_scale, updates)
+    new_params = optax.apply_updates(params, updates)
+
+    ok = jnp.logical_and(jnp.isfinite(loss), _tree_finite(grads))
+    sel = lambda new, old: jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), new, old)
+    params_out = sel(new_params, params)
+    opt_state_out = sel(new_opt_state, opt_state)
+
+    metrics = dict(metrics)
+    metrics.update(_group_norms(grads))
+    metrics["skipped"] = (1.0 - ok.astype(jnp.float32))
+    metrics["grad_hist"] = _grad_histograms(grads, max_param_log)
+    return params_out, opt_state_out, metrics
+
+
 def make_train_step(cfg, hp: TrainHyper, optimizer, model: str = "active",
                     max_param_log: int = 200):
     """model: 'active' | 'passive' | 'auralnet'. Returns a jitted
@@ -161,28 +187,69 @@ def make_train_step(cfg, hp: TrainHyper, optimizer, model: str = "active",
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng, lr_scale):
-        def lf(p):
-            return loss_impl(p, cfg, hp, batch, rng, True)
-
-        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
-
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: u * lr_scale, updates)
-        new_params = optax.apply_updates(params, updates)
-
-        ok = jnp.logical_and(jnp.isfinite(loss), _tree_finite(grads))
-        sel = lambda new, old: jax.tree.map(
-            lambda n, o: jnp.where(ok, n, o), new, old)
-        params_out = sel(new_params, params)
-        opt_state_out = sel(new_opt_state, opt_state)
-
-        metrics = dict(metrics)
-        metrics.update(_group_norms(grads))
-        metrics["skipped"] = (1.0 - ok.astype(jnp.float32))
-        metrics["grad_hist"] = _grad_histograms(grads, max_param_log)
-        return params_out, opt_state_out, metrics
+        return _train_step_core(loss_impl, cfg, hp, optimizer,
+                                max_param_log, params, opt_state, batch,
+                                rng, lr_scale)
 
     return train_step
+
+
+def make_train_chunk(cfg, hp: TrainHyper, optimizer, model: str,
+                     synth_batch_fn, chunk_steps: int,
+                     max_param_log: int = 200):
+    """Fused multi-step dispatch: CHUNK_STEPS (synthesize -> train step)
+    iterations inside ONE jitted lax.scan.
+
+    With on-device synthesis nothing in the inner loop needs the host, so
+    running one dispatch per step leaves the chip idle for the host/tunnel
+    round-trip latency between steps — on this image's tunnelled TPU that
+    latency (~200 ms) exceeds the step compute by two orders of magnitude.
+    One scan dispatch amortises it across the whole chunk.
+
+    synth_batch_fn: pure (key) -> batch tuple (from synth.batch_fn()).
+    Returns jitted (params, opt_state, rng, lr_scale) ->
+    (params, opt_state, stacked-metrics) where every metric leaf gains a
+    leading (chunk_steps,) axis. RNG contract matches _SynthSource + the
+    per-batch path: per step, one key split into (synthesis, dropout)."""
+    loss_impl = _loss_fn(model)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run_chunk(params, opt_state, rng, lr_scale):
+        def body(carry, k):
+            params, opt_state = carry
+            k_synth, k_step = jax.random.split(k)
+            batch = synth_batch_fn(k_synth)
+            params, opt_state, m = _train_step_core(
+                loss_impl, cfg, hp, optimizer, max_param_log,
+                params, opt_state, batch, k_step, lr_scale)
+            return (params, opt_state), m
+
+        keys = jax.random.split(rng, chunk_steps)
+        (params, opt_state), ms = jax.lax.scan(body, (params, opt_state),
+                                               keys)
+        return params, opt_state, ms
+
+    return run_chunk
+
+
+def make_eval_chunk(cfg, hp: TrainHyper, model: str = "active"):
+    """Evaluate a whole stack of same-shape batches in ONE dispatch.
+
+    batches: tuple of arrays with a leading (n_batches,) axis (a
+    SynthEvalDataset stacked group). Returns metrics with that leading
+    axis."""
+    loss_impl = _loss_fn(model)
+
+    @jax.jit
+    def eval_chunk(params, batches):
+        def body(_, b):
+            _, m = loss_impl(params, cfg, hp, b, None, False)
+            return None, m
+
+        _, ms = jax.lax.scan(body, None, batches)
+        return ms
+
+    return eval_chunk
 
 
 def make_eval_step(cfg, hp: TrainHyper, model: str = "active"):

@@ -28,8 +28,9 @@ from ..parallel.mesh import (make_mesh, batch_sharding, shard_params,
 from ..data.h5io import ActiveH5Dataset, PassiveH5Dataset
 from ..data.pipeline import batch_iterator, Prefetcher
 from ..utils.logging import MetricLogger
-from .loop import (make_train_step, make_eval_step, is_better_tuple,
-                   grad_hist_names, GRAD_HIST_EDGES)
+from .loop import (make_train_step, make_eval_step, make_train_chunk,
+                   make_eval_chunk, is_better_tuple, grad_hist_names,
+                   GRAD_HIST_EDGES)
 from .optim import make_optimizer, PlateauScheduler
 from . import state as ckpt
 
@@ -90,11 +91,36 @@ class SynthEvalDataset:
             made += take
         self.length = made
 
+        # Device-resident splits additionally get STACKED same-shape groups
+        # so an epoch of evaluation is a handful of lax.scan dispatches
+        # instead of one dispatch per batch (the tunnel's per-dispatch
+        # latency dwarfs the eval compute at reference scale: 141 batches
+        # x 150 epochs). The per-batch view (device_batches) slices the
+        # stacks, so both access paths share one copy of the split.
+        self.stacked_groups = []
+        if keep_on_device and self._batches:
+            import jax.numpy as _jnp
+            groups = {}
+            for b in self._batches:
+                groups.setdefault(b[0].shape[0], []).append(b)
+            self._batches = None
+            self.stacked_groups = [
+                tuple(_jnp.stack(parts) for parts in zip(*g))
+                for g in groups.values()]
+
     def __len__(self):
         return self.length
 
     def device_batches(self):
-        return iter(self._batches)
+        if self._batches is not None:
+            return iter(self._batches)
+
+        def gen():
+            for g in self.stacked_groups:
+                for j in range(g[0].shape[0]):
+                    yield tuple(a[j] for a in g)
+
+        return gen()
 
 
 class _SynthSource:
@@ -117,16 +143,21 @@ def _accumulate(sums, metrics, bs):
     """Epoch metric accumulation, fully ON DEVICE (no per-step host sync,
     preserving async dispatch) and EXCLUDING skipped/nonfinite batches
     from the averages — reference semantics (train_biear.py:514-517):
-    a skipped batch increments the skip counter and contributes nothing."""
+    a skipped batch increments the skip counter and contributes nothing.
+
+    Metric leaves may be scalars (one step) or carry a leading (n_steps,)
+    axis (a fused train chunk / stacked eval group) — the sums reduce over
+    whatever is there."""
     skipped = metrics.get("skipped", jnp.float32(0.0))
-    ok = jnp.logical_and(jnp.isfinite(metrics["loss"]), skipped == 0)
+    ok = jnp.logical_and(jnp.isfinite(metrics["loss"]),
+                         jnp.asarray(skipped) == 0)
     w = ok.astype(jnp.float32) * bs
     for k in ("loss", "sound_acc", "aoa_mae", "dist_acc"):
-        sums[k] = sums.get(k, jnp.float32(0.0)) + jnp.where(
-            ok, metrics[k].astype(jnp.float32), 0.0) * bs
+        sums[k] = sums.get(k, jnp.float32(0.0)) + jnp.sum(jnp.where(
+            ok, metrics[k].astype(jnp.float32), 0.0) * bs)
     sums["skipped"] = (sums.get("skipped", jnp.float32(0.0))
-                       + (1.0 - ok.astype(jnp.float32)))
-    sums["_n"] = sums.get("_n", jnp.float32(0.0)) + w
+                       + jnp.sum(1.0 - ok.astype(jnp.float32)))
+    sums["_n"] = sums.get("_n", jnp.float32(0.0)) + jnp.sum(w)
     return sums
 
 
@@ -211,7 +242,20 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
                                  model_kind, max_param_log=rc.max_param_log)
     hist_names = grad_hist_names(params, rc.max_param_log)
     eval_step = make_eval_step(rc.model_cfg, rc.hyper, model_kind)
+    eval_chunk = make_eval_chunk(rc.model_cfg, rc.hyper, model_kind)
     sched = PlateauScheduler(factor=0.5, patience=10)
+
+    # Fused multi-step train dispatch (loop.make_train_chunk), keyed by
+    # chunk length so a trailing sub-chunk reuses its own one compilation.
+    chunk_runners = {}
+
+    def get_chunk_runner(chunk: int):
+        if chunk not in chunk_runners:
+            chunk_runners[chunk] = make_train_chunk(
+                rc.model_cfg, rc.hyper, optimizer, model_kind,
+                synth.batch_fn(rc.batch_size), chunk,
+                max_param_log=rc.max_param_log)
+        return chunk_runners[chunk]
 
     if datasets is None:
         if synth is not None and rc.synth_on_device:
@@ -282,6 +326,56 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
                 history = json.load(f)
         say(f"[Resume] from epoch {start_epoch - 1}, lr_scale={lr_scale}")
 
+    def run_train_chunked(name, epoch, steps, chunk):
+        """Train epoch as ceil(steps/chunk) fused lax.scan dispatches —
+        the on-device-synthesis fast path (see loop.make_train_chunk)."""
+        nonlocal params, opt_state, global_step, key
+        sums = {}
+        t0 = time.time()
+        done = 0
+        while done < steps:
+            c = min(chunk, steps - done)
+            key, k = jax.random.split(key)
+            params, opt_state, ms = get_chunk_runner(c)(
+                params, opt_state, k, jnp.float32(lr_scale))
+            sums = _accumulate(sums, ms, rc.batch_size)
+            done += c
+            global_step += c
+            # telemetry cadence is per-chunk here: scalar means over the
+            # chunk plus the final step's per-leaf grad histograms (the
+            # host only sees chunk boundaries)
+            logger.scalars("train_step", {
+                k2: jnp.mean(ms[k2]) for k2 in
+                ("loss", "sound_acc", "aoa_mae", "dist_acc",
+                 "grad_fb_norm", "grad_backend_norm")}, global_step)
+            counts = np.asarray(ms["grad_hist"][-1])
+            logger.histograms("grads", dict(zip(hist_names, counts)),
+                              GRAD_HIST_EDGES, global_step)
+            if (done // c) % max(rc.print_every // c, 1) == 0:
+                say(f"[step {global_step:06d}] chunk/{c} "
+                    f"loss={float(jnp.mean(ms['loss'])):.4f}"
+                    f" | sound_acc={float(jnp.mean(ms['sound_acc'])):.3f}"
+                    f" | aoa_mae={float(jnp.mean(ms['aoa_mae'])):.3f}"
+                    f" | dist_acc={float(jnp.mean(ms['dist_acc'])):.3f}")
+        out = _finalize(sums)
+        out["sec"] = time.time() - t0
+        logger.scalars(name, {k: v for k, v in out.items() if k != "sec"},
+                       epoch)
+        return out
+
+    def run_eval_stacked(name, epoch, ds):
+        """Eval split as one lax.scan dispatch per same-shape batch group."""
+        sums = {}
+        t0 = time.time()
+        for g in ds.stacked_groups:
+            ms = eval_chunk(params, g)
+            sums = _accumulate(sums, ms, g[0].shape[1])
+        out = _finalize(sums)
+        out["sec"] = time.time() - t0
+        logger.scalars(name, {k: v for k, v in out.items() if k != "sec"},
+                       epoch)
+        return out
+
     def run_split(name, epoch, training):
         nonlocal params, opt_state, global_step, key
         sums = {}
@@ -289,7 +383,15 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
         if training and synth is not None and rc.synth_on_device:
             steps = max_steps_per_epoch or int(
                 rc.raw.get("SYNTH_STEPS_PER_EPOCH", 128))
+            chunk_cfg = int(rc.raw.get("SYNTH_CHUNK_STEPS", -1))
+            chunk = min(128, steps) if chunk_cfg < 0 else min(chunk_cfg,
+                                                              steps)
+            if chunk > 1:
+                return run_train_chunked(name, epoch, steps, chunk)
             it = _SynthSource(synth, steps, rc.batch_size, seed).epoch(epoch)
+        elif (not training
+              and getattr(datasets[name], "stacked_groups", None)):
+            return run_eval_stacked(name, epoch, datasets[name])
         elif hasattr(datasets[name], "device_batches"):
             it = datasets[name].device_batches()
         else:

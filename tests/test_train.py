@@ -184,3 +184,54 @@ def test_eval_step_deterministic(rng, tiny_setup):
     m1 = ev(params, batch)
     m2 = ev(params, batch)
     assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_train_chunk_matches_per_step_path():
+    """One fused lax.scan chunk == the same steps dispatched one by one
+    with the same key schedule (params, opt state, and per-step metrics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from biear_tpu.models import BiEARConfig
+    from biear_tpu.models.biear import init_active
+    from biear_tpu.data.synth import (AnechoicSynthesizer,
+                                      make_test_hrir_bank,
+                                      make_test_segments)
+    from biear_tpu.train import TrainHyper, make_optimizer
+    from biear_tpu.train.loop import make_train_step, make_train_chunk
+
+    cfg = BiEARConfig(fs=1600, timesteps=4, n_fft=256, n_bands=16,
+                      fmin=50.0, fmax=700.0, latent_dim=16,
+                      controller_mode="dual", deltaQ_mode="relative")
+    hp = TrainHyper()
+    params = init_active(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(params, hp)
+    opt_state = opt.init(params)
+
+    ir, az, dist = make_test_hrir_bank(m_per_sector=2, ir_len=64, fs=1600)
+    segs = make_test_segments(n=4, seg_len=3200)
+    synth = AnechoicSynthesizer(ir, az, dist, segs, fs=1600, num_lags=16)
+
+    B, CH = 4, 3
+    chunk = make_train_chunk(cfg, hp, opt, "active", synth.batch_fn(B), CH)
+    step = make_train_step(cfg, hp, opt, "active")
+
+    rng = jax.random.PRNGKey(7)
+    p1, o1, ms = chunk(jax.tree.map(jnp.copy, params),
+                       jax.tree.map(jnp.copy, opt_state),
+                       rng, jnp.float32(1.0))
+
+    # replay: the chunk splits rng into CH keys, then (synth, step) per key
+    p2, o2 = params, opt_state
+    losses = []
+    for k in jax.random.split(rng, CH):
+        k_synth, k_step = jax.random.split(k)
+        batch = synth.sample_batch(k_synth, B)
+        p2, o2, m = step(p2, o2, batch, k_step, jnp.float32(1.0))
+        losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(np.asarray(ms["loss"]), np.asarray(losses),
+                               rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
