@@ -109,12 +109,14 @@ def _fused_fb_apply(cfg: BiEARConfig, mode: str):
     """(Q (B,N), Xmag, Xre, Xim (B,F)) -> (Y, Zre, Zim), via the selected
     Pallas kernel, else the jnp path."""
     c = frontend_constants(cfg)
-    if mode in ("off", "step"):
+    if mode == "off":
         fc = c["fc"]
         f_fft = c["f_fft"]
         return lambda Q, xm, xr, xi: filterbank_apply(Q, fc, f_fft, xm, xr, xi)
 
-    if mode == "fb2":
+    if mode in ("fb2", "step"):
+        # paths without a fused-step kernel (single-controller scan,
+        # freeze_q) still get the chunked fwd+bwd filterbank kernel
         from ..ops.pallas.fb_kernel2 import make_fb_apply2
         kernel = make_fb_apply2(c["fc"], c["f_fft"], tile_b=_pallas_tile_b())
     else:

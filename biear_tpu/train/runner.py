@@ -384,8 +384,16 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
             steps = max_steps_per_epoch or int(
                 rc.raw.get("SYNTH_STEPS_PER_EPOCH", 128))
             chunk_cfg = int(rc.raw.get("SYNTH_CHUNK_STEPS", -1))
-            chunk = min(128, steps) if chunk_cfg < 0 else min(chunk_cfg,
-                                                              steps)
+            if chunk_cfg < 0:
+                # auto: largest divisor of steps <= 128 (one compilation);
+                # an indivisible prime-ish count falls back to 128 + a
+                # trailing sub-chunk (two compilations)
+                chunk = max((d for d in range(2, min(128, steps) + 1)
+                             if steps % d == 0), default=min(128, steps))
+                if chunk < 16 and steps > 128:
+                    chunk = 128
+            else:
+                chunk = min(chunk_cfg, steps)
             if chunk > 1:
                 return run_train_chunked(name, epoch, steps, chunk)
             it = _SynthSource(synth, steps, rc.batch_size, seed).epoch(epoch)

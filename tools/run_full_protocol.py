@@ -32,9 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def predictions_on_device(params, cfg, dataset, model_kind="active"):
-    """Run the forward over a SynthEvalDataset's device batches; pull ONLY
-    the small prediction arrays host-side (the waveforms never cross the
-    tunnel)."""
+    """Run the forward over a SynthEvalDataset; pull ONLY the small
+    prediction arrays host-side (the waveforms never cross the tunnel).
+    Stacked same-shape batch groups run as ONE scanned dispatch each."""
     import jax
     from biear_tpu.models import active_forward, auralnet_forward
     from biear_tpu.train.losses import sanitize_x3, sanitize_wav
@@ -46,12 +46,32 @@ def predictions_on_device(params, cfg, dataset, model_kind="active"):
         wavL, wavR = sanitize_wav(wavL, wavR)
         return fwd(p, cfg, wavL, wavR, sanitize_x3(x3), train=False)[:3]
 
+    @jax.jit
+    def stacked(p, batches):
+        def body(_, b):
+            wavL, wavR, x3 = b[:3]
+            wavL, wavR = sanitize_wav(wavL, wavR)
+            return None, fwd(p, cfg, wavL, wavR, sanitize_x3(x3),
+                             train=False)[:3]
+
+        _, (s, a, d) = jax.lax.scan(body, None, batches)
+        return s, a, d
+
     souts, aouts, douts, ys = [], [], [], []
-    for batch in dataset.device_batches():
-        wavL, wavR, x3, y = batch[:4]
-        s, a, d = step(params, wavL, wavR, x3)
-        souts.append(np.asarray(s)); aouts.append(np.asarray(a))
-        douts.append(np.asarray(d)); ys.append(np.asarray(y))
+    if getattr(dataset, "stacked_groups", None):
+        for g in dataset.stacked_groups:
+            s, a, d = stacked(params, g[:3])
+            nb, bs = g[0].shape[:2]
+            souts.append(np.asarray(s).reshape(nb * bs, -1))
+            aouts.append(np.asarray(a).reshape(nb * bs, -1))
+            douts.append(np.asarray(d).reshape(nb * bs, 8, -1))
+            ys.append(np.asarray(g[3]).reshape(nb * bs, -1))
+    else:
+        for batch in dataset.device_batches():
+            wavL, wavR, x3, y = batch[:4]
+            s, a, d = step(params, wavL, wavR, x3)
+            souts.append(np.asarray(s)); aouts.append(np.asarray(a))
+            douts.append(np.asarray(d)); ys.append(np.asarray(y))
     return (np.concatenate(souts), np.concatenate(aouts),
             np.concatenate(douts), np.concatenate(ys))
 
