@@ -354,7 +354,8 @@ def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
         return YL, YR, QL, QR, phL, phR
 
     c = frontend_constants(cfg)
-    fb_apply = _fused_fb_apply(cfg, _pallas_mode())
+    mode = _pallas_mode()
+    fb_apply = _fused_fb_apply(cfg, mode)
     p_ctrl = params["ctrl"]
     B = wavL.shape[0]
     T = cfg.timesteps
@@ -370,9 +371,50 @@ def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
     else:
         step_keys = jnp.zeros((T, 2), jnp.uint32)
 
+    use_step_kernel = (mode == "step") and not cfg.freeze_q
+    if use_step_kernel:
+        from ..ops.pallas.scan_step import (make_scan_step_single,
+                                            pack_controller_single)
+        step_op = make_scan_step_single(c["fc"], c["f_fft"], cfg.n_bands,
+                                        cfg.ctrl_hidden,
+                                        tile_b=_pallas_tile_b())
+        pp = pack_controller_single(p_ctrl, cfg.n_bands, cfg.ctrl_hidden)
+
+    def _drop_masks(key):
+        if not (train and rng is not None) or cfg.ctrl_dropout <= 0.0:
+            ones = jnp.ones((B, cfg.ctrl_hidden), jnp.float32)
+            return ones, ones
+        keep = 1.0 - cfg.ctrl_dropout
+        k1, k2 = jax.random.split(key)
+        m = lambda k: jnp.where(
+            jax.random.bernoulli(k, keep, (B, cfg.ctrl_hidden)),
+            1.0 / keep, 0.0)
+        return m(k1), m(k2)
+
     def step(carry, xs):
         Q, h, memL, memR = carry
         xmL, xrL, xiL, xmR, xrR, xiR, key = xs
+
+        if use_step_kernel:
+            m1, m2 = _drop_masks(key)
+            outL, outR, delta, h = step_op(
+                pp, Q, h, jnp.stack([xmL, xrL, xiL], axis=1),
+                jnp.stack([xmR, xrR, xiR], axis=1), memL, memR, m1, m2)
+            san = lambda o: jnp.nan_to_num(o[:, 0], nan=0.0, posinf=0.0,
+                                           neginf=0.0)
+            YL, YR = san(outL), san(outR)
+            out = (YL, YR, Q, band_phase(outL[:, 1], outL[:, 2]),
+                   band_phase(outR[:, 1], outR[:, 2]))
+            Qn = _next_q(cfg, c, delta)
+            Qn, h = _finite_reset(Qn, h, c["Q0"][None])
+            YL_ctrl = jnp.log1p(jnp.maximum(YL, 0.0))
+            YR_ctrl = jnp.log1p(jnp.maximum(YR, 0.0))
+            memL = (beta * memL
+                    + (1.0 - beta) * jax.lax.stop_gradient(YL_ctrl))
+            memR = (beta * memR
+                    + (1.0 - beta) * jax.lax.stop_gradient(YR_ctrl))
+            return (Qn, h, memL, memR), out
+
         YL, ZreL, ZimL = fb_apply(Q, xmL, xrL, xiL)
         YR, ZreR, ZimR = fb_apply(Q, xmR, xrR, xiR)
         out = (YL, YR, Q, band_phase(ZreL, ZimL), band_phase(ZreR, ZimR))

@@ -184,10 +184,12 @@ def test_scan_step_kernel_matches_controller_step(rng, grids):
                                        rtol=1e-3, atol=1e-4)
 
 
-@pytest.mark.parametrize("mode", ["fb2", "step"])
-def test_frontend_modes_match_jnp(rng, monkeypatch, mode):
+@pytest.mark.parametrize("mode,ctrl", [("fb2", "dual"), ("step", "dual"),
+                                       ("step", "single")])
+def test_frontend_modes_match_jnp(rng, monkeypatch, mode, ctrl):
     """Full adaptive frontend fwd + train-mode grads: each kernel ladder
-    rung == the pure-XLA path, end to end through the ear-vmapped scan."""
+    rung == the pure-XLA path, end to end through the scan (ear-vmapped
+    dual and shared-Q single controller)."""
     import biear_tpu.models.frontend as fe
     from biear_tpu.models.config import BiEARConfig
     from biear_tpu.models.biear import init_active
@@ -195,10 +197,11 @@ def test_frontend_modes_match_jnp(rng, monkeypatch, mode):
 
     cfg = BiEARConfig(fs=1600, timesteps=4, n_fft=256, n_bands=24,
                       fmin=50.0, fmax=700.0, latent_dim=24,
-                      deltaQ_mode="relative")
+                      deltaQ_mode="relative", controller_mode=ctrl)
     params = init_active(jax.random.PRNGKey(0), cfg)
-    params["bifb"]["fb"]["q_out"]["l3"]["w"] = 0.05 * jax.random.normal(
-        jax.random.PRNGKey(1), params["bifb"]["fb"]["q_out"]["l3"]["w"].shape)
+    l3 = (params["bifb"]["fb"]["q_out"]["l3"] if ctrl == "dual"
+          else params["bifb"]["ctrl"]["q_out"]["l3"])
+    l3["w"] = 0.05 * jax.random.normal(jax.random.PRNGKey(1), l3["w"].shape)
     wavL = jnp.asarray(rng.uniform(-1, 1, (2, 1600)).astype(np.float32))
     wavR = jnp.asarray(rng.uniform(-1, 1, (2, 1600)).astype(np.float32))
     x3 = jnp.zeros((2, 24))
