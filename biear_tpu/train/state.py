@@ -32,15 +32,24 @@ def save_checkpoint(path: str, params, opt_state=None, meta: dict | None = None)
 
 def load_checkpoint(path: str, params_like, opt_state_like=None):
     """Restore (params[, opt_state], meta). *_like provide the pytree
-    structure/shardings to restore into."""
+    structure AND target shardings: restore args are constructed from the
+    template so a checkpoint written on one topology (e.g. an 8-device
+    training mesh) restores onto another (a single eval chip) — without
+    this, orbax falls back to the device mesh recorded at save time and
+    errors when those devices don't exist here."""
+    from orbax.checkpoint import checkpoint_utils
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as cp:
-        params = cp.restore(os.path.join(path, "params"), item=params_like)
+        params = cp.restore(
+            os.path.join(path, "params"), item=params_like,
+            restore_args=checkpoint_utils.construct_restore_args(params_like))
         opt_state = None
         if opt_state_like is not None and os.path.isdir(
                 os.path.join(path, "opt_state")):
-            opt_state = cp.restore(os.path.join(path, "opt_state"),
-                                   item=opt_state_like)
+            opt_state = cp.restore(
+                os.path.join(path, "opt_state"), item=opt_state_like,
+                restore_args=checkpoint_utils.construct_restore_args(
+                    opt_state_like))
     meta = None
     mp = os.path.join(path, "meta.json")
     if os.path.exists(mp):

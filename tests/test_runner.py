@@ -229,3 +229,34 @@ def test_skipped_batches_excluded_from_epoch_metrics(tmp_path, rng):
     tr = out["history"]["train"][0]
     assert tr["skipped"] >= 1
     assert np.isfinite(tr["loss"])       # the NaN batch didn't poison it
+
+
+def test_checkpoint_restores_across_topologies(tmp_path):
+    """A checkpoint saved from params committed to an 8-device mesh must
+    restore into a single-device template (the serve/eval topology) — the
+    restore args come from the template, not the save-time device mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from biear_tpu.parallel.mesh import make_mesh
+    from biear_tpu.train import state as ckpt
+
+    mesh = make_mesh(4, 2)
+    params = {"w": jnp.arange(32, dtype=jnp.float32).reshape(8, 4),
+              "b": jnp.ones((8,), jnp.float32)}
+    params = {"w": jax.device_put(params["w"],
+                                  NamedSharding(mesh, P("data", "model"))),
+              "b": jax.device_put(params["b"],
+                                  NamedSharding(mesh, P("model")))}
+    ckpt.save_checkpoint(str(tmp_path / "ck"), params, None, {"epoch": 1})
+
+    dev0 = jax.devices()[0]
+    like = {"w": jax.device_put(jnp.zeros((8, 4), jnp.float32), dev0),
+            "b": jax.device_put(jnp.zeros((8,), jnp.float32), dev0)}
+    restored, _, meta = ckpt.load_checkpoint(str(tmp_path / "ck"), like)
+    assert meta["epoch"] == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored["w"]),
+        np.arange(32, dtype=np.float32).reshape(8, 4))
+    assert restored["w"].sharding.device_set == {dev0}
