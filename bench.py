@@ -93,23 +93,28 @@ def measure_ours(trace_dir: str | None = None) -> dict:
     batch = (wavL, wavR, x3, y)
 
     key = jax.random.PRNGKey(0)
-    # warmup/compile
+    # ONE AOT compile serves execution AND cost analysis (a second
+    # .lower().compile() would pay the full multi-minute tunnel compile
+    # twice)
     key, k = jax.random.split(key)
-    params, opt_state, m = step(params, opt_state, batch, k, jnp.float32(1.0))
-    jax.block_until_ready(m["loss"])
+    step = step.lower(params, opt_state, batch, k,
+                      jnp.float32(1.0)).compile()
 
     # XLA's own FLOP count for the compiled step (per-executable; covers
     # fwd + BPTT + Adam). Not every backend reports it — null when absent.
     flops_per_step = None
     try:
-        ca = step.lower(params, opt_state, batch, k,
-                        jnp.float32(1.0)).compile().cost_analysis()
+        ca = step.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         if ca and ca.get("flops", 0) > 0:
             flops_per_step = float(ca["flops"])
     except Exception as e:                           # pragma: no cover
         print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+
+    # warmup (first execution also smokes out runtime errors)
+    params, opt_state, m = step(params, opt_state, batch, k, jnp.float32(1.0))
+    jax.block_until_ready(m["loss"])
 
     rates = []
     for w in range(WINDOWS):

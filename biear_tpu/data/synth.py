@@ -37,6 +37,23 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def assemble_batch(one_fn, bank, key, batch_size: int, n_src_fixed: int,
+                   fs: int, num_lags: int, out_sharding=None):
+    """THE batch-assembly pipeline shared by every synthesizer and both
+    dispatch shapes (the per-batch jit and the fused train chunk): vmap the
+    per-sample scene over split keys, derive the CC feature, optionally
+    commit the mesh layout. One definition keeps sample_batch and
+    batch_fn bit-identical for the same key."""
+    keys = jax.random.split(key, batch_size)
+    wavL, wavR, y, _ = jax.vmap(lambda k: one_fn(bank, k, n_src_fixed))(keys)
+    x3 = cross_correlation_feature(wavL, wavR, fs, num_lags=num_lags)
+    out = (wavL, wavR, x3, y)
+    if out_sharding is not None:
+        out = jax.lax.with_sharding_constraint(out,
+                                               (out_sharding,) * len(out))
+    return out
+
+
 class AnechoicSynthesizer:
     """Batched on-device sampler over an HRIR bank + speech segment pool.
 
@@ -177,16 +194,8 @@ class AnechoicSynthesizer:
     @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
     def _batch(self, bank, key, batch_size: int, n_src_fixed: int,
                out_sharding=None):
-        keys = jax.random.split(key, batch_size)
-        wavL, wavR, y, _ = jax.vmap(
-            lambda k: self._one(bank, k, n_src_fixed))(keys)
-        x3 = cross_correlation_feature(wavL, wavR, self.fs,
-                                       num_lags=self.num_lags)
-        out = (wavL, wavR, x3, y)
-        if out_sharding is not None:
-            out = jax.lax.with_sharding_constraint(
-                out, (out_sharding,) * len(out))
-        return out
+        return assemble_batch(self._one, bank, key, batch_size, n_src_fixed,
+                              self.fs, self.num_lags, out_sharding)
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def _batch_meta(self, bank, key, batch_size: int, n_src_fixed: int):
@@ -211,23 +220,11 @@ class AnechoicSynthesizer:
         """Pure (key) -> batch closure for use INSIDE a caller's jit (the
         fused multi-step train chunk): same numerics and RNG contract as
         sample_batch, no jit boundary of its own."""
-        bank = self._bank
         nsf = 0 if n_src is None else int(n_src)
-        sharding = self._out_sharding
-
-        def fn(key):
-            keys = jax.random.split(key, batch_size)
-            wavL, wavR, y, _ = jax.vmap(
-                lambda k: self._one(bank, k, nsf))(keys)
-            x3 = cross_correlation_feature(wavL, wavR, self.fs,
-                                           num_lags=self.num_lags)
-            out = (wavL, wavR, x3, y)
-            if sharding is not None:
-                out = jax.lax.with_sharding_constraint(
-                    out, (sharding,) * len(out))
-            return out
-
-        return fn
+        return functools.partial(assemble_batch, self._one, self._bank,
+                                 batch_size=batch_size, n_src_fixed=nsf,
+                                 fs=self.fs, num_lags=self.num_lags,
+                                 out_sharding=self._out_sharding)
 
     def sample_batch_meta(self, key, batch_size: int,
                           n_src: int | None = None):

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..ops.xcorr import cross_correlation_feature
 from .labels import DIST_CLASSES, N_SECTORS, N_DIST_CLASSES
-from .synth import _next_pow2
+from .synth import _next_pow2, assemble_batch
 
 
 def dist_class_5(dist_m: float, other_thresh: float = 3.0) -> int:
@@ -238,16 +238,8 @@ class ReverbSynthesizer:
     @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
     def _batch(self, bank, key, batch_size: int, n_src_fixed: int,
                out_sharding=None):
-        keys = jax.random.split(key, batch_size)
-        wavL, wavR, y, _ = jax.vmap(
-            lambda k: self._one(bank, k, n_src_fixed))(keys)
-        x3 = cross_correlation_feature(wavL, wavR, self.fs,
-                                       num_lags=self.num_lags)
-        out = (wavL, wavR, x3, y)
-        if out_sharding is not None:
-            out = jax.lax.with_sharding_constraint(
-                out, (out_sharding,) * len(out))
-        return out
+        return assemble_batch(self._one, bank, key, batch_size, n_src_fixed,
+                              self.fs, self.num_lags, out_sharding)
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def _batch_meta(self, bank, key, batch_size: int, n_src_fixed: int):
@@ -266,23 +258,11 @@ class ReverbSynthesizer:
     def batch_fn(self, batch_size: int, n_src: int | None = None):
         """Pure (key) -> batch closure for use INSIDE a caller's jit — see
         AnechoicSynthesizer.batch_fn."""
-        bank = self._bank
         nsf = 0 if n_src is None else int(n_src)
-        sharding = self._out_sharding
-
-        def fn(key):
-            keys = jax.random.split(key, batch_size)
-            wavL, wavR, y, _ = jax.vmap(
-                lambda k: self._one(bank, k, nsf))(keys)
-            x3 = cross_correlation_feature(wavL, wavR, self.fs,
-                                           num_lags=self.num_lags)
-            out = (wavL, wavR, x3, y)
-            if sharding is not None:
-                out = jax.lax.with_sharding_constraint(
-                    out, (sharding,) * len(out))
-            return out
-
-        return fn
+        return functools.partial(assemble_batch, self._one, self._bank,
+                                 batch_size=batch_size, n_src_fixed=nsf,
+                                 fs=self.fs, num_lags=self.num_lags,
+                                 out_sharding=self._out_sharding)
 
     def sample_batch_meta(self, key, batch_size: int,
                           n_src: int | None = None):

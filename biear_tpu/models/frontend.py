@@ -92,11 +92,17 @@ def _pallas_mode() -> str:
              to fb2 behaviour.
 
     The default is chosen by measurement on v5e (tools/bench_kernels.py);
-    '1'/'true' are kept as aliases for v1 for round-1 compatibility."""
+    '1'/'true' are kept as aliases for v1 for round-1 compatibility.
+    Unknown values are an error, not a silent fallback — a typo must not
+    quietly select a different kernel."""
     import os
     v = os.environ.get("BIEAR_USE_PALLAS", "off").lower()
-    return {"0": "off", "false": "off", "": "off", "1": "v1", "true": "v1",
+    mode = {"0": "off", "false": "off", "": "off", "1": "v1", "true": "v1",
             "on": "v1"}.get(v, v)
+    if mode not in ("off", "v1", "fb2", "step"):
+        raise ValueError(f"BIEAR_USE_PALLAS={v!r}: expected one of "
+                         "off|v1|fb2|step (or 0/1/true/false aliases)")
+    return mode
 
 
 def _pallas_tile_b() -> int:
@@ -176,6 +182,26 @@ def controller_step(p, cfg: BiEARConfig, h, feat, drop_key, train: bool):
     return jnp.tanh(L.linear(q["l3"], z)), h
 
 
+def _dropout_mask_fn(cfg: BiEARConfig, B: int, enabled: bool):
+    """Pre-scaled {0, 1/keep} dropout-mask pair for the fused step kernel,
+    mirroring controller_step's PRNG stream exactly (split the step key,
+    one bernoulli per MLP dropout) so the kernel path and the jnp path see
+    identical masks in train mode."""
+    ones = jnp.ones((B, cfg.ctrl_hidden), jnp.float32)
+    if not enabled or cfg.ctrl_dropout <= 0.0:
+        return lambda key: (ones, ones)
+    keep = 1.0 - cfg.ctrl_dropout
+
+    def masks(key):
+        k1, k2 = jax.random.split(key)
+        m = lambda k: jnp.where(
+            jax.random.bernoulli(k, keep, (B, cfg.ctrl_hidden)),
+            1.0 / keep, 0.0)
+        return m(k1), m(k2)
+
+    return masks
+
+
 def _next_q(cfg: BiEARConfig, c, delta):
     if cfg.deltaQ_mode.lower() == "relative":
         Q = c["Q0"][None] * (1.0 + c["deltaQ_vec"][None] * delta)
@@ -221,19 +247,7 @@ def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
         step_op = make_scan_step(c["fc"], c["f_fft"], cfg.n_bands,
                                  cfg.ctrl_hidden, tile_b=_pallas_tile_b())
         pp = pack_controller(p_ctrl, cfg.n_bands, cfg.ctrl_hidden)
-
-    def _drop_masks(key):
-        """Mirror controller_step's dropout stream exactly: split the step
-        key, one bernoulli per MLP dropout, pre-scaled to {0, 1/keep}."""
-        if not (train and rng is not None) or cfg.ctrl_dropout <= 0.0:
-            ones = jnp.ones((B, cfg.ctrl_hidden), jnp.float32)
-            return ones, ones
-        keep = 1.0 - cfg.ctrl_dropout
-        k1, k2 = jax.random.split(key)
-        m = lambda k: jnp.where(
-            jax.random.bernoulli(k, keep, (B, cfg.ctrl_hidden)),
-            1.0 / keep, 0.0)
-        return m(k1), m(k2)
+        _drop_masks = _dropout_mask_fn(cfg, B, train and rng is not None)
 
     def step(carry, xs):
         Q, h = carry
@@ -379,17 +393,7 @@ def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
                                         cfg.ctrl_hidden,
                                         tile_b=_pallas_tile_b())
         pp = pack_controller_single(p_ctrl, cfg.n_bands, cfg.ctrl_hidden)
-
-    def _drop_masks(key):
-        if not (train and rng is not None) or cfg.ctrl_dropout <= 0.0:
-            ones = jnp.ones((B, cfg.ctrl_hidden), jnp.float32)
-            return ones, ones
-        keep = 1.0 - cfg.ctrl_dropout
-        k1, k2 = jax.random.split(key)
-        m = lambda k: jnp.where(
-            jax.random.bernoulli(k, keep, (B, cfg.ctrl_hidden)),
-            1.0 / keep, 0.0)
-        return m(k1), m(k2)
+        _drop_masks = _dropout_mask_fn(cfg, B, train and rng is not None)
 
     def step(carry, xs):
         Q, h, memL, memR = carry

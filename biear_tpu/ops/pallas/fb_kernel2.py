@@ -61,15 +61,18 @@ def _prep_grids(fc, f_fft):
     return fc_pad, f_pad, N, F, Np, Fp
 
 
-def _fwd_kernel(q_ref, fc_ref, f_ref, x_ref, out_ref):
-    """One batch tile: stream W in (TB, Np, CHUNK_F) pieces, accumulate the
-    row sum S and the three contractions U_c; emit U_c / (S + eps)."""
-    Q = q_ref[:, :]                                   # (TB, Np)
-    fc = fc_ref[0, :]                                 # (Np,)
+def stream_fb_accumulate(Q, fc, f_ref, x_ref):
+    """THE shared chunk loop of the whole kernel ladder: stream the
+    Gaussian build in (TB, Np, CHUNK_F) pieces over a batch tile,
+    accumulating the row sum S and the three spectra contractions U_c.
+    One definition keeps the forward kernel, the backward's recompute
+    pass, and both fused scan-step kernels numerically identical.
+
+    Q (TB, Np) values; fc (Np,) values; f_ref (1, Fp) and x_ref
+    (TB, 3, Fp) kernel refs. Returns (S, [U0, U1, U2], inv_bw)."""
     inv_bw = 1.0 / ((fc[None, :] / (Q + 1e-8)) + 1e-8)
     TB, Np = Q.shape
     Fp = f_ref.shape[-1]
-
     S = jnp.zeros((TB, Np), jnp.float32)
     U = [jnp.zeros((TB, Np), jnp.float32) for _ in range(3)]
     for j in range(Fp // _CHUNK_F):
@@ -80,6 +83,12 @@ def _fwd_kernel(q_ref, fc_ref, f_ref, x_ref, out_ref):
         for c in range(3):
             xc = x_ref[:, c, j * _CHUNK_F:(j + 1) * _CHUNK_F]  # (TB, CF)
             U[c] = U[c] + jnp.sum(G * xc[:, None, :], axis=-1)
+    return S, U, inv_bw
+
+
+def _fwd_kernel(q_ref, fc_ref, f_ref, x_ref, out_ref):
+    """One batch tile: stream W, emit U_c / (S + eps)."""
+    S, U, _ = stream_fb_accumulate(q_ref[:, :], fc_ref[0, :], f_ref, x_ref)
     denom = S + 1e-8
     for c in range(3):
         out_ref[:, c, :] = U[c] / denom
@@ -90,22 +99,10 @@ def _bwd_kernel(q_ref, fc_ref, f_ref, x_ref, g_ref, dq_ref, dx_ref):
     chunk once more for the dG sweep that yields dQ and dX3."""
     Q = q_ref[:, :]
     fc = fc_ref[0, :]
-    inv_bw = 1.0 / ((fc[None, :] / (Q + 1e-8)) + 1e-8)
+    S, U, inv_bw = stream_fb_accumulate(Q, fc, f_ref, x_ref)
     TB, Np = Q.shape
     Fp = f_ref.shape[-1]
     NC = Fp // _CHUNK_F
-
-    S = jnp.zeros((TB, Np), jnp.float32)
-    U = [jnp.zeros((TB, Np), jnp.float32) for _ in range(3)]
-    for j in range(NC):
-        f = f_ref[0, j * _CHUNK_F:(j + 1) * _CHUNK_F]
-        z = (f[None, None, :] - fc[None, :, None]) * inv_bw[:, :, None]
-        G = jnp.exp(-0.5 * z * z)
-        S = S + jnp.sum(G, axis=-1)
-        for c in range(3):
-            xc = x_ref[:, c, j * _CHUNK_F:(j + 1) * _CHUNK_F]
-            U[c] = U[c] + jnp.sum(G * xc[:, None, :], axis=-1)
-
     denom = S + 1e-8
     a = [g_ref[:, c, :] / denom for c in range(3)]             # (TB, Np)
     dS = -(a[0] * U[0] + a[1] * U[1] + a[2] * U[2]) / denom

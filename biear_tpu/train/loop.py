@@ -106,8 +106,18 @@ def _grad_histograms(grads, max_leaves: int):
     edges = jnp.asarray(GRAD_HIST_EDGES)
     rows = []
     for _, g in jax.tree_util.tree_leaves_with_path(grads)[:max_leaves]:
-        idx = jnp.searchsorted(edges, jnp.abs(g).reshape(-1))
-        rows.append(jnp.bincount(idx, length=len(GRAD_HIST_EDGES) + 1))
+        a = jnp.abs(g).reshape(-1)
+        # count-above-threshold formulation: bucket k of searchsorted+
+        # bincount is #{v: edges[k-1] < v <= edges[k]}, which is
+        # gt[k-1]-gt[k] for gt[i] = #{v > edges[i]} — comparisons+reduces
+        # only (scatter-free; TPU scatter-adds serialize)
+        gt = jnp.sum(a[None, :] > edges[:, None], axis=1,
+                     dtype=jnp.float32)
+        n = jnp.float32(a.shape[0])
+        rows.append(jnp.concatenate([
+            (n - gt[0])[None], gt[:-1] - gt[1:], gt[-1][None]]))
+    if not rows:
+        return jnp.zeros((0, len(GRAD_HIST_EDGES) + 1), jnp.float32)
     return jnp.stack(rows).astype(jnp.float32)
 
 

@@ -336,21 +336,25 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
         while done < steps:
             c = min(chunk, steps - done)
             key, k = jax.random.split(key)
+            gs_before = global_step
             params, opt_state, ms = get_chunk_runner(c)(
                 params, opt_state, k, jnp.float32(lr_scale))
             sums = _accumulate(sums, ms, rc.batch_size)
             done += c
             global_step += c
-            # telemetry cadence is per-chunk here: scalar means over the
-            # chunk plus the final step's per-leaf grad histograms (the
-            # host only sees chunk boundaries)
-            logger.scalars("train_step", {
-                k2: jnp.mean(ms[k2]) for k2 in
-                ("loss", "sound_acc", "aoa_mae", "dist_acc",
-                 "grad_fb_norm", "grad_backend_norm")}, global_step)
-            counts = np.asarray(ms["grad_hist"][-1])
-            logger.histograms("grads", dict(zip(hist_names, counts)),
-                              GRAD_HIST_EDGES, global_step)
+            # telemetry keeps the per-step path's HIST_EVERY cadence: log
+            # once per crossed multiple, at the step index ON the grid
+            # (the logged values are that step's row of the chunk stack)
+            first_mark = -(-gs_before // rc.hist_every) * rc.hist_every
+            for mark in range(first_mark, global_step, rc.hist_every):
+                row = mark - gs_before
+                logger.scalars("train_step", {
+                    k2: ms[k2][row] for k2 in
+                    ("loss", "sound_acc", "aoa_mae", "dist_acc",
+                     "grad_fb_norm", "grad_backend_norm")}, mark)
+                counts = np.asarray(ms["grad_hist"][row])
+                logger.histograms("grads", dict(zip(hist_names, counts)),
+                                  GRAD_HIST_EDGES, mark)
             if (done // c) % max(rc.print_every // c, 1) == 0:
                 say(f"[step {global_step:06d}] chunk/{c} "
                     f"loss={float(jnp.mean(ms['loss'])):.4f}"

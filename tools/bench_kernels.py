@@ -113,8 +113,15 @@ def main():
     results = []
     for mode in args.modes.split(","):
         for batch in (int(x) for x in args.batches.split(",")):
-            r = measure(mode, batch, args.steps, args.windows, args.tile_b,
-                        eval_only=args.eval_only)
+            try:
+                r = measure(mode, batch, args.steps, args.windows,
+                            args.tile_b, eval_only=args.eval_only)
+            except Exception as e:
+                # a kernel that fails to compile at this point (e.g. VMEM
+                # OOM) is a valid ladder measurement: record it and keep
+                # sweeping the remaining rungs
+                r = {"mode": mode, "batch": batch, "tile_b": args.tile_b,
+                     "error": str(e).split("\n")[0][:300]}
             print(json.dumps(r), flush=True)
             results.append(r)
 
@@ -123,7 +130,9 @@ def main():
     for r in results:
         print(f"{r['mode']:>6} {r['batch']:>6} "
               f"{r.get('train_utt_s', float('nan')):>12} "
-              f"{r['eval_utt_s']:>11}", file=sys.stderr)
+              f"{r.get('eval_utt_s', float('nan')):>11}"
+              f"{'  ' + r['error'] if 'error' in r else ''}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -131,8 +131,11 @@ def main():
     if args.batch_size is not None:
         rc.batch_size = args.batch_size
     if args.fixed_q:
+        import dataclasses
         rc.fixed_frontend_q = True
-        rc.model_cfg.fixed_frontend_q = True
+        # BiEARConfig is frozen (hashable for the constants lru_cache)
+        rc.model_cfg = dataclasses.replace(rc.model_cfg,
+                                           fixed_frontend_q=True)
     if args.runs_root:
         rc.runs_root = args.runs_root
     if args.comments is not None:
