@@ -79,64 +79,6 @@ def frontend_constants(cfg: BiEARConfig):
     }
 
 
-def _pallas_mode() -> str:
-    """BIEAR_USE_PALLAS selects the kernel ladder rung (see RESULTS.md):
-
-      off  (default) — pure XLA; exp build fused into the contraction.
-      v1   — legacy whole-W-in-VMEM forward kernel, XLA backward.
-      fb2  — chunked-W forward AND backward Pallas kernels (the backward
-             is where XLA materialises (B,N,F) HBM intermediates).
-      step — the whole scan step (FB + phase inputs + GRU controller +
-             MLP head) fused into one kernel; backward = fb2 + XLA
-             controller. Dual-controller mode only; other modes fall back
-             to fb2 behaviour.
-
-    The default is chosen by measurement on v5e (tools/bench_kernels.py);
-    '1'/'true' are kept as aliases for v1 for round-1 compatibility.
-    Unknown values are an error, not a silent fallback — a typo must not
-    quietly select a different kernel."""
-    import os
-    v = os.environ.get("BIEAR_USE_PALLAS", "off").lower()
-    mode = {"0": "off", "false": "off", "": "off", "1": "v1", "true": "v1",
-            "on": "v1"}.get(v, v)
-    if mode not in ("off", "v1", "fb2", "step"):
-        raise ValueError(f"BIEAR_USE_PALLAS={v!r}: expected one of "
-                         "off|v1|fb2|step (or 0/1/true/false aliases)")
-    return mode
-
-
-def _pallas_tile_b() -> int:
-    import os
-    return int(os.environ.get("BIEAR_PALLAS_TILE_B", "32"))
-
-
-@functools.lru_cache(maxsize=None)
-def _fused_fb_apply(cfg: BiEARConfig, mode: str):
-    """(Q (B,N), Xmag, Xre, Xim (B,F)) -> (Y, Zre, Zim), via the selected
-    Pallas kernel, else the jnp path."""
-    c = frontend_constants(cfg)
-    if mode == "off":
-        fc = c["fc"]
-        f_fft = c["f_fft"]
-        return lambda Q, xm, xr, xi: filterbank_apply(Q, fc, f_fft, xm, xr, xi)
-
-    if mode in ("fb2", "step"):
-        # paths without a fused-step kernel (single-controller scan,
-        # freeze_q) still get the chunked fwd+bwd filterbank kernel
-        from ..ops.pallas.fb_kernel2 import make_fb_apply2
-        kernel = make_fb_apply2(c["fc"], c["f_fft"], tile_b=_pallas_tile_b())
-    else:
-        from ..ops.pallas.fb_kernel import make_fb_apply
-        kernel = make_fb_apply(c["fc"], c["f_fft"])
-
-    def apply(Q, xm, xr, xi):
-        out = kernel(Q, jnp.stack([xm, xr, xi], axis=1))
-        Y = jnp.nan_to_num(out[:, 0], nan=0.0, posinf=0.0, neginf=0.0)
-        return Y, out[:, 1], out[:, 2]
-
-    return apply
-
-
 def spectra(cfg: BiEARConfig, wav):
     """wav (B, Nsamp) -> (Xmag, Xre, Xim), each (B, T, F).
 
@@ -182,26 +124,6 @@ def controller_step(p, cfg: BiEARConfig, h, feat, drop_key, train: bool):
     return jnp.tanh(L.linear(q["l3"], z)), h
 
 
-def _dropout_mask_fn(cfg: BiEARConfig, B: int, enabled: bool):
-    """Pre-scaled {0, 1/keep} dropout-mask pair for the fused step kernel,
-    mirroring controller_step's PRNG stream exactly (split the step key,
-    one bernoulli per MLP dropout) so the kernel path and the jnp path see
-    identical masks in train mode."""
-    ones = jnp.ones((B, cfg.ctrl_hidden), jnp.float32)
-    if not enabled or cfg.ctrl_dropout <= 0.0:
-        return lambda key: (ones, ones)
-    keep = 1.0 - cfg.ctrl_dropout
-
-    def masks(key):
-        k1, k2 = jax.random.split(key)
-        m = lambda k: jnp.where(
-            jax.random.bernoulli(k, keep, (B, cfg.ctrl_hidden)),
-            1.0 / keep, 0.0)
-        return m(k1), m(k2)
-
-    return masks
-
-
 def _next_q(cfg: BiEARConfig, c, delta):
     if cfg.deltaQ_mode.lower() == "relative":
         Q = c["Q0"][None] * (1.0 + c["deltaQ_vec"][None] * delta)
@@ -229,8 +151,6 @@ def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
     fused with the phase extraction of model_torch.py:1039-1063.
     """
     c = frontend_constants(cfg)
-    mode = _pallas_mode()
-    fb_apply = _fused_fb_apply(cfg, mode)
     B = Xmag.shape[0]
     T = cfg.timesteps
     Q_init = jnp.broadcast_to(c["Q0"][None], (B, cfg.n_bands))
@@ -241,29 +161,12 @@ def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
     else:
         step_keys = jnp.zeros((T, 2), jnp.uint32)
 
-    use_step_kernel = (mode == "step") and not cfg.freeze_q
-    if use_step_kernel:
-        from ..ops.pallas.scan_step import make_scan_step, pack_controller
-        step_op = make_scan_step(c["fc"], c["f_fft"], cfg.n_bands,
-                                 cfg.ctrl_hidden, tile_b=_pallas_tile_b())
-        pp = pack_controller(p_ctrl, cfg.n_bands, cfg.ctrl_hidden)
-        _drop_masks = _dropout_mask_fn(cfg, B, train and rng is not None)
-
     def step(carry, xs):
         Q, h = carry
         xmag, xre, xim, key = xs
 
-        if use_step_kernel:
-            m1, m2 = _drop_masks(key)
-            X3 = jnp.stack([xmag, xre, xim], axis=1)
-            out3, delta, h = step_op(pp, Q, h, X3, m1, m2)
-            Y = jnp.nan_to_num(out3[:, 0], nan=0.0, posinf=0.0, neginf=0.0)
-            out = (Y, Q, band_phase(out3[:, 1], out3[:, 2]))
-            Qn = _next_q(cfg, c, delta)
-            Qn, h = _finite_reset(Qn, h, c["Q0"][None])
-            return (Qn, h), out
-
-        Y, Zre, Zim = fb_apply(Q, xmag, xre, xim)
+        Y, Zre, Zim = filterbank_apply(Q, c["fc"], c["f_fft"],
+                                       xmag, xre, xim)
         phase = band_phase(Zre, Zim)
         out = (Y, Q, phase)
 
@@ -368,8 +271,6 @@ def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
         return YL, YR, QL, QR, phL, phR
 
     c = frontend_constants(cfg)
-    mode = _pallas_mode()
-    fb_apply = _fused_fb_apply(cfg, mode)
     p_ctrl = params["ctrl"]
     B = wavL.shape[0]
     T = cfg.timesteps
@@ -385,42 +286,14 @@ def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
     else:
         step_keys = jnp.zeros((T, 2), jnp.uint32)
 
-    use_step_kernel = (mode == "step") and not cfg.freeze_q
-    if use_step_kernel:
-        from ..ops.pallas.scan_step import (make_scan_step_single,
-                                            pack_controller_single)
-        step_op = make_scan_step_single(c["fc"], c["f_fft"], cfg.n_bands,
-                                        cfg.ctrl_hidden,
-                                        tile_b=_pallas_tile_b())
-        pp = pack_controller_single(p_ctrl, cfg.n_bands, cfg.ctrl_hidden)
-        _drop_masks = _dropout_mask_fn(cfg, B, train and rng is not None)
-
     def step(carry, xs):
         Q, h, memL, memR = carry
         xmL, xrL, xiL, xmR, xrR, xiR, key = xs
 
-        if use_step_kernel:
-            m1, m2 = _drop_masks(key)
-            outL, outR, delta, h = step_op(
-                pp, Q, h, jnp.stack([xmL, xrL, xiL], axis=1),
-                jnp.stack([xmR, xrR, xiR], axis=1), memL, memR, m1, m2)
-            san = lambda o: jnp.nan_to_num(o[:, 0], nan=0.0, posinf=0.0,
-                                           neginf=0.0)
-            YL, YR = san(outL), san(outR)
-            out = (YL, YR, Q, band_phase(outL[:, 1], outL[:, 2]),
-                   band_phase(outR[:, 1], outR[:, 2]))
-            Qn = _next_q(cfg, c, delta)
-            Qn, h = _finite_reset(Qn, h, c["Q0"][None])
-            YL_ctrl = jnp.log1p(jnp.maximum(YL, 0.0))
-            YR_ctrl = jnp.log1p(jnp.maximum(YR, 0.0))
-            memL = (beta * memL
-                    + (1.0 - beta) * jax.lax.stop_gradient(YL_ctrl))
-            memR = (beta * memR
-                    + (1.0 - beta) * jax.lax.stop_gradient(YR_ctrl))
-            return (Qn, h, memL, memR), out
-
-        YL, ZreL, ZimL = fb_apply(Q, xmL, xrL, xiL)
-        YR, ZreR, ZimR = fb_apply(Q, xmR, xrR, xiR)
+        YL, ZreL, ZimL = filterbank_apply(Q, c["fc"], c["f_fft"],
+                                          xmL, xrL, xiL)
+        YR, ZreR, ZimR = filterbank_apply(Q, c["fc"], c["f_fft"],
+                                          xmR, xrR, xiR)
         out = (YL, YR, Q, band_phase(ZreL, ZimL), band_phase(ZreR, ZimR))
 
         if cfg.freeze_q:

@@ -9,8 +9,13 @@ one W build per (ear, frame) yields the band energy Y AND the complex band
 output Z (whose angle is the phase), halving the dominant transcendental
 cost and removing the second T-loop entirely.
 
-`filterbank_apply` is the hot op; a Pallas-fused version lives in
-biear_tpu/ops/pallas/fb_kernel.py and is numerically interchangeable.
+`filterbank_apply` is the hot op, deliberately pure XLA: a Pallas kernel
+ladder (chunked fwd+bwd streaming kernel; whole-scan-step fusion incl. the
+GRU controller) was built and measured against it on v5e and lost at every
+VMEM-feasible operating point (5-15% slower on train, tie on eval) — XLA's
+own fusion of build+contract is already at the VPU exp-throughput limit.
+Measurements: docs/kernel_ladder_measurements.json; kernel sources remain
+in git history (commits 6a12595..87f2abf).
 """
 
 from __future__ import annotations
