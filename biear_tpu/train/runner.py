@@ -344,23 +344,32 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
             global_step += c
             # telemetry keeps the per-step path's HIST_EVERY cadence: log
             # once per crossed multiple, at the step index ON the grid
-            # (the logged values are that step's row of the chunk stack)
+            # (the logged values are that step's row of the chunk stack).
+            # ONE host pull per chunk serves every mark and the progress
+            # print — per-value float() pulls each pay the tunnel RTT.
             first_mark = -(-gs_before // rc.hist_every) * rc.hist_every
-            for mark in range(first_mark, global_step, rc.hist_every):
+            marks = list(range(first_mark, global_step, rc.hist_every))
+            printing = (done // c) % max(rc.print_every // c, 1) == 0
+            if marks or printing:
+                hm = jax.device_get({k2: ms[k2] for k2 in
+                                     ("loss", "sound_acc", "aoa_mae",
+                                      "dist_acc", "grad_fb_norm",
+                                      "grad_backend_norm", "grad_hist")})
+            for mark in marks:
                 row = mark - gs_before
                 logger.scalars("train_step", {
-                    k2: ms[k2][row] for k2 in
+                    k2: hm[k2][row] for k2 in
                     ("loss", "sound_acc", "aoa_mae", "dist_acc",
                      "grad_fb_norm", "grad_backend_norm")}, mark)
-                counts = np.asarray(ms["grad_hist"][row])
-                logger.histograms("grads", dict(zip(hist_names, counts)),
+                logger.histograms("grads",
+                                  dict(zip(hist_names, hm["grad_hist"][row])),
                                   GRAD_HIST_EDGES, mark)
-            if (done // c) % max(rc.print_every // c, 1) == 0:
+            if printing:
                 say(f"[step {global_step:06d}] chunk/{c} "
-                    f"loss={float(jnp.mean(ms['loss'])):.4f}"
-                    f" | sound_acc={float(jnp.mean(ms['sound_acc'])):.3f}"
-                    f" | aoa_mae={float(jnp.mean(ms['aoa_mae'])):.3f}"
-                    f" | dist_acc={float(jnp.mean(ms['dist_acc'])):.3f}")
+                    f"loss={hm['loss'].mean():.4f}"
+                    f" | sound_acc={hm['sound_acc'].mean():.3f}"
+                    f" | aoa_mae={hm['aoa_mae'].mean():.3f}"
+                    f" | dist_acc={hm['dist_acc'].mean():.3f}")
         out = _finalize(sums)
         out["sec"] = time.time() - t0
         logger.scalars(name, {k: v for k, v in out.items() if k != "sec"},
