@@ -518,6 +518,10 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
     best_dir = os.path.join(dirs["checkpoints"], "best")
     if os.path.isdir(best_dir):
         params, _, _ = ckpt.load_checkpoint(best_dir, params)
+        # recommit to the training shardings — restored arrays carry
+        # fresh layouts, which would force an avoidable recompile of any
+        # step whose other inputs match a cached signature
+        params = shard_params(params, mesh)
     te = None
     if datasets is not None and "test" in datasets:
         te = run_split("test", 0, False)
