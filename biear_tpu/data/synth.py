@@ -37,6 +37,28 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def select_segments(pool, seg_idx, qoff, fs: int):
+    """MXU-friendly segment selection: pick pool rows with a one-hot
+    matmul, then apply a 128-sample-quantised time offset with a
+    block-shift einsum. The obvious vmapped dynamic_slice lowers to a TPU
+    gather running at ~5 GB/s — 8x slower than riding the MXU
+    (tools/bench_breakdown.py measurements). Offsets are quantised to
+    128 samples (8 ms at 16 kHz); the sample-granular IR crop that
+    follows keeps sub-block randomisation.
+
+    pool (NP, T) with T and fs multiples of 128; seg_idx (MS,) row picks;
+    qoff (MS,) block offsets with qoff*128 + fs <= T. Returns (MS, fs)."""
+    NP, T = pool.shape
+    MS = seg_idx.shape[0]
+    M = jax.nn.one_hot(seg_idx, NP, dtype=pool.dtype)        # (MS, NP)
+    rows = (M @ pool).reshape(MS, T // 128, 128)
+    nbo = fs // 128
+    S = (jnp.arange(T // 128)[None, None, :]
+         == jnp.arange(nbo)[None, :, None] + qoff[:, None, None]
+         ).astype(pool.dtype)                                # (MS, nbo, nbi)
+    return jnp.einsum("sob,sbk->sok", S, rows).reshape(MS, fs)
+
+
 def assemble_batch(one_fn, bank, key, batch_size: int, n_src_fixed: int,
                    fs: int, num_lags: int, out_sharding=None):
     """THE batch-assembly pipeline shared by every synthesizer and both
@@ -118,14 +140,39 @@ class AnechoicSynthesizer:
         # planes — the tunnel's transfer path only implements f32, so no
         # complex64 (or int) array may ever cross host<->device; complex is
         # formed on device inside the jit.
-        H = np.fft.rfft(ir, n=self._fft_len)
+        #
+        # Short IRs convolve in the TIME domain on the MXU instead: XLA
+        # FFTs run on the VPU at ~0.1 TFLOP/s-class throughput and the
+        # three 16k-point transforms per source dominate the whole fused
+        # synthesize->train pipeline (52 of 63 ms/step at batch 1024,
+        # tools/bench_breakdown.py). A 256-tap HRIR is 16000x256 MACs =
+        # 8 MFLOP/ear — microseconds on the MXU. Direct conv wins while
+        # L·fs MACs < the ~12 FFT passes; crossover is near L~2k, so room
+        # BRIRs (ReverbSynthesizer) stay on the FFT path.
+        self._direct_conv = L <= 1024
+        # MXU segment selection (select_segments) needs fs and the pool
+        # row length in whole 128-lane blocks; pad the pool rows up (the
+        # offset range keeps selections inside the original content).
+        self._mxu_select = (self.fs % 128 == 0)
+        if self._mxu_select and segments.shape[1] % 128:
+            segments = np.pad(
+                segments,
+                ((0, 0), (0, 128 - segments.shape[1] % 128)))
         self._bank = {
-            "H_re": jax.device_put(H.real.astype(np.float32)),
-            "H_im": jax.device_put(H.imag.astype(np.float32)),
             "segments": jax.device_put(segments),
             "meas_norm": jax.device_put(norm.astype(np.float32)),
             "meas_dcls": jax.device_put(dcls.astype(np.float32)),
         }
+        if self._direct_conv:
+            # XLA conv is correlation (no kernel flip): pre-flip so the
+            # lowering computes true convolution, matching the FFT path
+            # sample-for-sample over the first fs+L-1 outputs.
+            self._bank["ir_rev"] = jax.device_put(
+                np.ascontiguousarray(ir[:, :, ::-1]))
+        else:
+            H = np.fft.rfft(ir, n=self._fft_len)
+            self._bank["H_re"] = jax.device_put(H.real.astype(np.float32))
+            self._bank["H_im"] = jax.device_put(H.imag.astype(np.float32))
 
     # ---------------- single-sample program (vmapped) ----------------
 
@@ -149,32 +196,55 @@ class AnechoicSynthesizer:
 
         n_segs = bank["segments"].shape[0]
         seg_idx = jax.random.randint(ks[3], (MS,), 0, n_segs)
-        seg_off = jax.random.randint(ks[4], (MS,), 0,
-                                     self._seg_len - fs + 1)
         crop = jax.random.randint(ks[5], (MS,), 0, self.ir_len)  # [0, L-1]
+        if self._mxu_select:
+            qoff = jax.random.randint(
+                ks[4], (MS,), 0, (self._seg_len - fs) // 128 + 1)
+            segs = select_segments(bank["segments"], seg_idx, qoff, fs)
+        else:  # tiny/test geometries where fs isn't a multiple of 128
+            seg_off = jax.random.randint(ks[4], (MS,), 0,
+                                         self._seg_len - fs + 1)
+            segs = jax.vmap(lambda si, so: jax.lax.dynamic_slice(
+                bank["segments"][si], (so,), (fs,)))(seg_idx, seg_off)
 
-        def one_source(m, sidx, soff, c):
-            seg = jax.lax.dynamic_slice(bank["segments"][sidx], (soff,), (fs,))
-            X = jnp.fft.rfft(seg, n=self._fft_len)               # (F,)
-            Hm = jax.lax.complex(bank["H_re"][m], bank["H_im"][m])
-            y_full = jnp.fft.irfft(X[None, :] * Hm, n=self._fft_len)
+        def one_source(m, seg, c):
+            L = self.ir_len
+            if self._direct_conv:
+                # time-domain full convolution; vmap lifts the per-source
+                # kernel into a batch-grouped conv
+                seg_pad = jnp.pad(seg, (L - 1, L - 1))
+                y_full = jax.lax.conv_general_dilated(
+                    seg_pad[None, None, :], bank["ir_rev"][m][:, None, :],
+                    window_strides=(1,), padding="VALID",
+                    precision=jax.lax.Precision.HIGHEST)[0]  # (2, fs+L-1)
+            else:
+                X = jnp.fft.rfft(seg, n=self._fft_len)           # (F,)
+                Hm = jax.lax.complex(bank["H_re"][m], bank["H_im"][m])
+                y_full = jnp.fft.irfft(X[None, :] * Hm, n=self._fft_len)
             return jax.lax.dynamic_slice(y_full, (0, c), (2, fs))
 
-        src = jax.vmap(one_source)(meas, seg_idx, seg_off, crop)  # (MS, 2, fs)
+        src = jax.vmap(one_source)(meas, segs, crop)              # (MS, 2, fs)
         y_lr = jnp.sum(src * active[:, None, None], axis=0)       # (2, fs)
         peak = jnp.maximum(jnp.max(jnp.abs(y_lr)), 1e-8)
         y_lr = y_lr / peak
 
-        # ---- label vector (sectors are distinct, so scatter is exact) ----
+        # ---- label vector, scatter-free (TPU scatters serialize; the
+        # distinct-sector scatters are exactly one-hot weighted sums) ----
         maskf = active.astype(jnp.float32)
-        sound = jnp.zeros(S).at[sectors].set(maskf)
-        angle = jnp.zeros(S).at[sectors].set(
-            bank["meas_norm"][meas] * maskf)
-        base = jnp.zeros((S, N_DIST_CLASSES)).at[:, 0].set(1.0)
+        sec1 = jax.nn.one_hot(sectors, S, dtype=jnp.float32)  # (MS, S)
+        sound = jnp.einsum("ms,m->s", sec1, maskf)
+        angle = jnp.einsum("ms,m->s", sec1,
+                           bank["meas_norm"][meas] * maskf)
+        base = jnp.concatenate(
+            [jnp.ones((S, 1)), jnp.zeros((S, N_DIST_CLASSES - 1))], axis=1)
         dcls_i = bank["meas_dcls"][meas].astype(jnp.int32)  # f32 in the bank
         rows = jax.nn.one_hot(
             jnp.where(active, dcls_i + 1, 0), N_DIST_CLASSES)
-        onehot = base.at[sectors].set(rows)
+        # an inactive slot's row is e0 == the base row, so replacing the
+        # covered sectors and keeping base elsewhere is exact
+        covered = jnp.sum(sec1, axis=0)                       # (S,) 0/1
+        onehot = (base * (1.0 - covered)[:, None]
+                  + jnp.einsum("ms,mc->sc", sec1, rows))
         y = jnp.concatenate(
             [sound[:, None], angle[:, None], onehot], axis=1).reshape(-1)
         # slot metadata, all float32 (the TPU tunnel only transfers f32)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..ops.xcorr import cross_correlation_feature
 from .labels import DIST_CLASSES, N_SECTORS, N_DIST_CLASSES
-from .synth import _next_pow2, assemble_batch
+from .synth import _next_pow2, assemble_batch, select_segments
 
 
 def dist_class_5(dist_m: float, other_thresh: float = 3.0) -> int:
@@ -151,10 +151,23 @@ class ReverbSynthesizer:
         if self._seg_len < self.fs:
             raise ValueError("segments must be at least 1 s long")
         self.n_measurements = M
-        self._bank = {
-            "ir": jax.device_put(ir),                         # (M, 2, E, L)
-            "segments": jax.device_put(segments),
-        }
+        self._mxu_select = (self.fs % 128 == 0)
+        if self._mxu_select and segments.shape[1] % 128:
+            segments = np.pad(
+                segments, ((0, 0), (0, 128 - segments.shape[1] % 128)))
+        self._bank = {"segments": jax.device_put(segments)}
+        # BRIR spectra precomputed once when they fit comfortably in HBM:
+        # computing rfft(L) per (source, step) inside the sampler doubles
+        # the pipeline's FFT count. f32 re/im planes (the tunnel transfers
+        # f32 only); complex is formed on device.
+        F = self._fft_len // 2 + 1
+        self._precomputed_H = (M * 2 * E * F * 8) <= 2 << 30
+        if self._precomputed_H:
+            H = np.fft.rfft(ir, n=self._fft_len)              # (M, 2, E, F)
+            self._bank["H_re"] = jax.device_put(H.real.astype(np.float32))
+            self._bank["H_im"] = jax.device_put(H.imag.astype(np.float32))
+        else:
+            self._bank["ir"] = jax.device_put(ir)             # (M, 2, E, L)
 
     def _one(self, bank, key, n_src_fixed: int):
         fs, E, MS = self.fs, self.n_speakers, self.max_sources
@@ -196,31 +209,47 @@ class ReverbSynthesizer:
 
         seg_idx = jax.random.randint(ks[4], (MS,), 0,
                                      bank["segments"].shape[0])
-        seg_off = jax.random.randint(ks[5], (MS,), 0, self._seg_len - fs + 1)
+        if self._mxu_select:
+            qoff = jax.random.randint(
+                ks[5], (MS,), 0, (self._seg_len - fs) // 128 + 1)
+            segs = select_segments(bank["segments"], seg_idx, qoff, fs)
+        else:
+            seg_off = jax.random.randint(ks[5], (MS,), 0,
+                                         self._seg_len - fs + 1)
+            segs = jax.vmap(lambda si, so: jax.lax.dynamic_slice(
+                bank["segments"][si], (so,), (fs,)))(seg_idx, seg_off)
 
-        def one_source(s, sidx, soff):
-            seg = jax.lax.dynamic_slice(bank["segments"][sidx], (soff,), (fs,))
+        def one_source(s, seg):
             X = jnp.fft.rfft(seg, n=self._fft_len)
-            H = jnp.fft.rfft(bank["ir"][m, :, s, :], n=self._fft_len)  # (2, F)
+            if self._precomputed_H:
+                H = jax.lax.complex(bank["H_re"][m, :, s, :],
+                                    bank["H_im"][m, :, s, :])     # (2, F)
+            else:
+                H = jnp.fft.rfft(bank["ir"][m, :, s, :], n=self._fft_len)
             y = jnp.fft.irfft(X[None, :] * H, n=self._fft_len)
             return y[:, :fs]                                # truncate, no crop
 
-        src = jax.vmap(one_source)(speakers, seg_idx, seg_off)  # (MS, 2, fs)
+        src = jax.vmap(one_source)(speakers, segs)          # (MS, 2, fs)
         y_lr = jnp.sum(src * active[:, None, None], axis=0)
         peak = jnp.maximum(jnp.max(jnp.abs(y_lr)), 1e-8)
         y_lr = 0.9 * y_lr / peak                            # :339-341
 
-        # labels — chosen sectors are distinct, scatter is exact
+        # labels, scatter-free — chosen sectors are distinct, and an
+        # inactive slot's one-hot row equals the base row (see synth.py)
         maskf = active.astype(jnp.float32)
-        secs = chosen_sectors
-        sound = jnp.zeros(N_SECTORS).at[secs].set(maskf)
-        angle = jnp.zeros(N_SECTORS).at[secs].set(
-            jnp.asarray(self._norm_np)[m, speakers] * maskf)
-        base = jnp.zeros((N_SECTORS, N_DIST_CLASSES)).at[:, 0].set(1.0)
+        sec1 = jax.nn.one_hot(chosen_sectors, N_SECTORS, dtype=jnp.float32)
+        sound = jnp.einsum("ms,m->s", sec1, maskf)
+        angle = jnp.einsum("ms,m->s", sec1,
+                           jnp.asarray(self._norm_np)[m, speakers] * maskf)
+        base = jnp.concatenate(
+            [jnp.ones((N_SECTORS, 1)),
+             jnp.zeros((N_SECTORS, N_DIST_CLASSES - 1))], axis=1)
         rows = jax.nn.one_hot(
             jnp.where(active, jnp.asarray(self._onehot_np)[speakers], 0),
             N_DIST_CLASSES)
-        onehot = base.at[secs].set(rows)
+        covered = jnp.sum(sec1, axis=0)
+        onehot = (base * (1.0 - covered)[:, None]
+                  + jnp.einsum("ms,mc->sc", sec1, rows))
         y = jnp.concatenate(
             [sound[:, None], angle[:, None], onehot], axis=1).reshape(-1)
         # slot metadata, all float32 (this image's TPU tunnel only

@@ -58,6 +58,7 @@ def cross_correlation_feature(left, right, fs: int, num_lags: int = 100,
                                          num_lags, max_lag_ms)[0]
     B, n = left.shape
     kept, j0, w = _lag_plan(n, fs, num_lags, max_lag_ms)
+    max_kept = int(np.max(np.abs(kept)))
     kept = jnp.asarray(kept)
     j0 = jnp.asarray(j0)
     w = jnp.asarray(w)
@@ -65,9 +66,15 @@ def cross_correlation_feature(left, right, fs: int, num_lags: int = 100,
     lf = left - jnp.mean(left, axis=-1, keepdims=True)
     rf = right - jnp.mean(right, axis=-1, keepdims=True)
 
-    # Linear cross-correlation via zero-padded FFT. fft_len >= 2n-1.
+    # Linear cross-correlation via zero-padded FFT. Exactness needs only
+    # fft_len >= n + max|kept lag|, not the full 2n-1: circular wrap at a
+    # kept lag l aliases in corr(l - fft_len), and for length-n signals
+    # every lag with |lag| > fft_len - n has ZERO overlap. Since the kept
+    # window is +/-3 ms (48 samples at 16 kHz), this halves the FFT to
+    # 16384 — the CC is the dominant FFT cost of the fused
+    # synthesize->train pipeline (tools/bench_breakdown.py).
     fft_len = 1
-    while fft_len < 2 * n - 1:
+    while fft_len < n + max_kept:
         fft_len *= 2
     L = jnp.fft.rfft(lf, n=fft_len)
     R = jnp.fft.rfft(rf, n=fft_len)
