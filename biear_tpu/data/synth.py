@@ -47,16 +47,26 @@ def select_segments(pool, seg_idx, qoff, fs: int):
     follows keeps sub-block randomisation.
 
     pool (NP, T) with T and fs multiples of 128; seg_idx (MS,) row picks;
-    qoff (MS,) block offsets with qoff*128 + fs <= T. Returns (MS, fs)."""
+    qoff (MS,) block offsets with qoff*128 + fs <= T. Returns (MS, fs).
+
+    Both contractions pin Precision.HIGHEST: they move training DATA, and
+    the default MXU mode would quantize the selected waveforms to bf16
+    (~7 mantissa bits). With exactly-0/1 selection matrices the bf16_x
+    multi-pass decomposition reproduces the float32 values exactly, so
+    this path stays bit-equivalent to a dynamic_slice."""
     NP, T = pool.shape
     MS = seg_idx.shape[0]
     M = jax.nn.one_hot(seg_idx, NP, dtype=pool.dtype)        # (MS, NP)
-    rows = (M @ pool).reshape(MS, T // 128, 128)
+    rows = jnp.matmul(M, pool, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32
+                      ).reshape(MS, T // 128, 128)
     nbo = fs // 128
     S = (jnp.arange(T // 128)[None, None, :]
          == jnp.arange(nbo)[None, :, None] + qoff[:, None, None]
          ).astype(pool.dtype)                                # (MS, nbo, nbi)
-    return jnp.einsum("sob,sbk->sok", S, rows).reshape(MS, fs)
+    return jnp.einsum("sob,sbk->sok", S, rows,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32).reshape(MS, fs)
 
 
 def assemble_batch(one_fn, bank, key, batch_size: int, n_src_fixed: int,
@@ -231,10 +241,13 @@ class AnechoicSynthesizer:
         # ---- label vector, scatter-free (TPU scatters serialize; the
         # distinct-sector scatters are exactly one-hot weighted sums) ----
         maskf = active.astype(jnp.float32)
+        # label einsums pin HIGHEST: the angle regression targets would
+        # otherwise be bf16-rounded by the default MXU mode
+        hi = jax.lax.Precision.HIGHEST
         sec1 = jax.nn.one_hot(sectors, S, dtype=jnp.float32)  # (MS, S)
-        sound = jnp.einsum("ms,m->s", sec1, maskf)
+        sound = jnp.einsum("ms,m->s", sec1, maskf, precision=hi)
         angle = jnp.einsum("ms,m->s", sec1,
-                           bank["meas_norm"][meas] * maskf)
+                           bank["meas_norm"][meas] * maskf, precision=hi)
         base = jnp.concatenate(
             [jnp.ones((S, 1)), jnp.zeros((S, N_DIST_CLASSES - 1))], axis=1)
         dcls_i = bank["meas_dcls"][meas].astype(jnp.int32)  # f32 in the bank
@@ -244,7 +257,7 @@ class AnechoicSynthesizer:
         # covered sectors and keeping base elsewhere is exact
         covered = jnp.sum(sec1, axis=0)                       # (S,) 0/1
         onehot = (base * (1.0 - covered)[:, None]
-                  + jnp.einsum("ms,mc->sc", sec1, rows))
+                  + jnp.einsum("ms,mc->sc", sec1, rows, precision=hi))
         y = jnp.concatenate(
             [sound[:, None], angle[:, None], onehot], axis=1).reshape(-1)
         # slot metadata, all float32 (the TPU tunnel only transfers f32)

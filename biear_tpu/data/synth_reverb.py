@@ -237,10 +237,14 @@ class ReverbSynthesizer:
         # labels, scatter-free — chosen sectors are distinct, and an
         # inactive slot's one-hot row equals the base row (see synth.py)
         maskf = active.astype(jnp.float32)
+        # HIGHEST on the label einsums: angle targets must not be
+        # bf16-rounded by the default MXU mode (see synth.py)
+        hi = jax.lax.Precision.HIGHEST
         sec1 = jax.nn.one_hot(chosen_sectors, N_SECTORS, dtype=jnp.float32)
-        sound = jnp.einsum("ms,m->s", sec1, maskf)
+        sound = jnp.einsum("ms,m->s", sec1, maskf, precision=hi)
         angle = jnp.einsum("ms,m->s", sec1,
-                           jnp.asarray(self._norm_np)[m, speakers] * maskf)
+                           jnp.asarray(self._norm_np)[m, speakers] * maskf,
+                           precision=hi)
         base = jnp.concatenate(
             [jnp.ones((N_SECTORS, 1)),
              jnp.zeros((N_SECTORS, N_DIST_CLASSES - 1))], axis=1)
@@ -249,7 +253,7 @@ class ReverbSynthesizer:
             N_DIST_CLASSES)
         covered = jnp.sum(sec1, axis=0)
         onehot = (base * (1.0 - covered)[:, None]
-                  + jnp.einsum("ms,mc->sc", sec1, rows))
+                  + jnp.einsum("ms,mc->sc", sec1, rows, precision=hi))
         y = jnp.concatenate(
             [sound[:, None], angle[:, None], onehot], axis=1).reshape(-1)
         # slot metadata, all float32 (this image's TPU tunnel only

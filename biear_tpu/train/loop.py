@@ -110,9 +110,13 @@ def _grad_histograms(grads, max_leaves: int):
         # count-above-threshold formulation: bucket k of searchsorted+
         # bincount is #{v: edges[k-1] < v <= edges[k]}, which is
         # gt[k-1]-gt[k] for gt[i] = #{v > edges[i]} — comparisons+reduces
-        # only (scatter-free; TPU scatter-adds serialize)
+        # only (scatter-free; TPU scatter-adds serialize). The reduce
+        # accumulates in int32: float32 counts lose integer exactness past
+        # 2^24 elements per leaf (the downstream stack converts to f32 for
+        # the tunnel's f32-only transfer path, where the counts are already
+        # final bucket totals).
         gt = jnp.sum(a[None, :] > edges[:, None], axis=1,
-                     dtype=jnp.float32)
+                     dtype=jnp.int32).astype(jnp.float32)
         n = jnp.float32(a.shape[0])
         rows.append(jnp.concatenate([
             (n - gt[0])[None], gt[:-1] - gt[1:], gt[-1][None]]))

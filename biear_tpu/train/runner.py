@@ -59,13 +59,33 @@ class SynthEvalDataset:
     pin in HBM (a 9k-row split is ~1.2 GB of waveforms), keep_on_device=
     False spills each batch to host numpy as it is generated (float32 only
     — the tunnel's transfer constraint) and re-uploads per epoch.
-    The runner consumes the split via device_batches()."""
+    The runner consumes the split via device_batches().
+
+    keep_on_device=None (the default) decides automatically: the split's
+    HBM footprint is estimated up front and splits above
+    SYNTH_EVAL_HBM_BUDGET_MB (default 2048 — leaves a 16 GB chip room for
+    a sibling split, params, optimizer state, and the BPTT working set)
+    spill to the host with a log line instead of OOMing the run."""
+
+    #: per-split HBM budget for the auto decision, in MiB
+    AUTO_BUDGET_MB = int(os.environ.get("SYNTH_EVAL_HBM_BUDGET_MB", 2048))
 
     def __init__(self, synth, n: int, seed: int, batch_size: int,
                  n_src=None, test_thirds: bool = False,
-                 keep_on_device: bool = True):
+                 keep_on_device: bool | None = None):
         import jax as _jax
         import numpy as _np
+        if keep_on_device is None:
+            fs = getattr(synth, "fs", 16000)
+            lags = getattr(synth, "num_lags", 100)
+            est_mb = n * (2 * fs + lags + 56) * 4 / 2**20
+            keep_on_device = est_mb <= self.AUTO_BUDGET_MB
+            if not keep_on_device:
+                print(f"[SynthEvalDataset] split of {n} rows ~{est_mb:.0f} "
+                      f"MiB exceeds the {self.AUTO_BUDGET_MB} MiB HBM "
+                      f"budget; spilling to host (set "
+                      f"SYNTH_EVAL_HBM_BUDGET_MB or keep_on_device to "
+                      f"override)")
         key = _jax.random.PRNGKey(seed)
         self._batches = []
         made = 0
@@ -260,9 +280,12 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
     if datasets is None:
         if synth is not None and rc.synth_on_device:
             n_eval = int(rc.raw.get("SYNTH_EVAL_SAMPLES", 1024))
-            on_dev = bool(rc.raw.get("SYNTH_EVAL_ON_DEVICE", True))
+            # SYNTH_EVAL_ON_DEVICE: true/false force; unset -> auto-spill
+            # oversized splits (SynthEvalDataset HBM budget)
+            on_dev = rc.raw.get("SYNTH_EVAL_ON_DEVICE", None)
+            on_dev = None if on_dev is None else bool(on_dev)
             say(f"[Synth] materialising val/test splits ({n_eval} samples "
-                f"each, {'HBM' if on_dev else 'host'}-resident)")
+                f"each, {'auto' if on_dev is None else ('HBM' if on_dev else 'host')}-resident)")
             datasets = {
                 "val": SynthEvalDataset(synth, n_eval, seed + 101,
                                         rc.batch_size,
@@ -328,14 +351,25 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
 
     def run_train_chunked(name, epoch, steps, chunk):
         """Train epoch as ceil(steps/chunk) fused lax.scan dispatches —
-        the on-device-synthesis fast path (see loop.make_train_chunk)."""
-        nonlocal params, opt_state, global_step, key
+        the on-device-synthesis fast path (see loop.make_train_chunk).
+
+        RNG: chunk keys derive from PRNGKey(seed + epoch) folded with the
+        chunk index — the same epoch-keyed determinism contract as the
+        per-step _SynthSource path, so the training stream is reproducible
+        across resumes and invariant to SYNTH_CHUNK_STEPS. (The streams of
+        the two dispatch shapes are each deterministic but not identical
+        to each other: the per-step path splits one key sequentially,
+        the fused path folds per chunk then splits inside the scan.)"""
+        nonlocal params, opt_state, global_step
         sums = {}
         t0 = time.time()
         done = 0
+        ekey = jax.random.PRNGKey(seed + epoch)
+        chunk_idx = 0
         while done < steps:
             c = min(chunk, steps - done)
-            key, k = jax.random.split(key)
+            k = jax.random.fold_in(ekey, chunk_idx)
+            chunk_idx += 1
             gs_before = global_step
             params, opt_state, ms = get_chunk_runner(c)(
                 params, opt_state, k, jnp.float32(lr_scale))
@@ -349,7 +383,11 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
             # print — per-value float() pulls each pay the tunnel RTT.
             first_mark = -(-gs_before // rc.hist_every) * rc.hist_every
             marks = list(range(first_mark, global_step, rc.hist_every))
-            printing = (done // c) % max(rc.print_every // c, 1) == 0
+            # print when the chunk crosses a print_every multiple — the
+            # same step grid as the per-step path, independent of chunk
+            # size (incl. a trailing sub-chunk changing c)
+            printing = (global_step // rc.print_every
+                        > gs_before // rc.print_every)
             if marks or printing:
                 hm = jax.device_get({k2: ms[k2] for k2 in
                                      ("loss", "sound_acc", "aoa_mae",

@@ -20,6 +20,8 @@ from biear_tpu.train.runner import train
 from biear_tpu.train.evaluate import evaluate
 from biear_tpu.train import state as ckpt_mod
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 CONF = os.path.join(os.path.dirname(__file__), "..", "conf", "config.yaml")
 
 

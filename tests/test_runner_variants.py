@@ -16,6 +16,8 @@ from biear_tpu.models.config import BiEARConfig
 from biear_tpu.data import save_active_h5, save_passive_h5, ActiveH5Dataset, PassiveH5Dataset
 from biear_tpu.train.runner import train
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 CONF = os.path.join(os.path.dirname(__file__), "..", "conf", "config.yaml")
 
 

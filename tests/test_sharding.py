@@ -18,8 +18,9 @@ from biear_tpu.parallel.mesh import make_mesh, batch_sharding, param_pspecs, sha
 from biear_tpu.train import TrainHyper, make_optimizer, make_train_step, make_eval_step
 
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 virtual devices"),
+              pytest.mark.slow]  # quick tier: -m 'not slow'
 
 
 @pytest.fixture(scope="module")
