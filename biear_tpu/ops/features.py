@@ -134,34 +134,131 @@ def compute_gammatone_feature_stft(wav_1d, fs, data_dim=DATA_DIM,
     return db.T.astype(np.float32)
 
 
+# ------------- Slaney ERB filterbank (gtgram numerical parity) -------------
+#
+# The reference's compute_gammatone_feature (utils.py:119-142) calls
+# gtgram() from the `gammatone` package, which is a direct transcription of
+# Malcolm Slaney's "An Efficient Implementation of the Patterson-Holdsworth
+# Auditory Filter Bank" (Apple TR #35, 1993) MATLAB code (ERBSpace /
+# MakeERBFilters / ERBFilterBank). That package is not installable in this
+# environment, so the SAME published algorithm is implemented here from the
+# TR formulas — identical coefficients and cascade structure, hence
+# numerically identical output (float64 lfilter) rather than a same-family
+# substitute. tests/test_features.py pins the filters against the ANALYTIC
+# 4th-order gammatone response (peak at cf, unit peak gain) and a committed
+# golden fixture.
+
+_EARQ, _MINBW = 9.26449, 24.7
+
+
+def erb_space_slaney(low_freq: float, high_freq: float, num: int):
+    """Slaney/Glasberg-Moore ERB-rate spaced centre frequencies,
+    DESCENDING from high_freq to low_freq (ERBSpace.m; the `gammatone`
+    package's centre_freqs)."""
+    c = _EARQ * _MINBW
+    return -c + np.exp(np.arange(1, num + 1) *
+                       (-np.log(high_freq + c) + np.log(low_freq + c))
+                       / num) * (high_freq + c)
+
+
+def make_erb_filters(fs: float, centre_freqs, width: float = 1.0):
+    """Slaney MakeERBFilters.m coefficient matrix, one row per filter:
+    [A0 A11 A12 A13 A14 A2 B0 B1 B2 gain] (float64)."""
+    T = 1.0 / fs
+    cf = np.asarray(centre_freqs, np.float64)
+    erb = width * ((cf / _EARQ) + _MINBW)
+    B = 1.019 * 2.0 * np.pi * erb
+
+    arg = 2.0 * cf * np.pi * T
+    vec = np.exp(2j * arg)
+
+    A0 = T
+    A2 = 0.0
+    B0 = 1.0
+    B1 = -2.0 * np.cos(arg) / np.exp(B * T)
+    B2 = np.exp(-2.0 * B * T)
+
+    rt_pos = np.sqrt(3.0 + 2.0 ** 1.5)
+    rt_neg = np.sqrt(3.0 - 2.0 ** 1.5)
+    common = -T * np.exp(-(B * T))
+
+    k11 = np.cos(arg) + rt_pos * np.sin(arg)
+    k12 = np.cos(arg) - rt_pos * np.sin(arg)
+    k13 = np.cos(arg) + rt_neg * np.sin(arg)
+    k14 = np.cos(arg) - rt_neg * np.sin(arg)
+    A11, A12, A13, A14 = (common * k for k in (k11, k12, k13, k14))
+
+    gain_arg = np.exp(1j * arg - B * T)
+    gain = np.abs(
+        (vec - gain_arg * k11) * (vec - gain_arg * k12)
+        * (vec - gain_arg * k13) * (vec - gain_arg * k14)
+        * (T * np.exp(B * T)
+           / (-1.0 / np.exp(B * T) + 1.0 + vec * (1.0 - np.exp(B * T))))
+        ** 4)
+
+    n = len(cf)
+    fcoefs = np.zeros((n, 10), np.float64)
+    fcoefs[:, 0] = A0
+    fcoefs[:, 1] = A11
+    fcoefs[:, 2] = A12
+    fcoefs[:, 3] = A13
+    fcoefs[:, 4] = A14
+    fcoefs[:, 5] = A2
+    fcoefs[:, 6] = B0
+    fcoefs[:, 7] = B1
+    fcoefs[:, 8] = B2
+    fcoefs[:, 9] = gain
+    return fcoefs
+
+
+def erb_filterbank_slaney(wave, fcoefs):
+    """ERBFilterBank.m: four cascaded 2nd-order sections per channel.
+    wave (N,) -> (n_filters, N) float64."""
+    from scipy.signal import lfilter
+
+    wave = np.asarray(wave, np.float64)
+    out = np.zeros((fcoefs.shape[0], wave.shape[0]), np.float64)
+    for i, (A0, A11, A12, A13, A14, A2, B0, B1, B2, g) in enumerate(fcoefs):
+        Bs = [B0, B1, B2]
+        y = lfilter([A0 / g, A11 / g, A2 / g], Bs, wave)
+        y = lfilter([A0, A12, A2], Bs, y)
+        y = lfilter([A0, A13, A2], Bs, y)
+        y = lfilter([A0, A14, A2], Bs, y)
+        out[i] = y
+    return out
+
+
+def gtgram_slaney(wave, fs, window_time, hop_time, channels, f_min):
+    """The `gammatone` package's gtgram(): Slaney filterbank -> power ->
+    sqrt-mean over hop-strided windows. (channels, n_windows) float64."""
+    cfs = erb_space_slaney(f_min, fs / 2.0, channels)
+    bm = erb_filterbank_slaney(wave, make_erb_filters(fs, cfs))
+    xe = bm ** 2
+    nwin = int(round(window_time * fs))
+    hop = int(round(hop_time * fs))
+    cols = max(1 + int(np.floor((xe.shape[1] - nwin) / hop)), 0)
+    y = np.zeros((channels, cols))
+    for c in range(cols):
+        y[:, c] = np.sqrt(xe[:, c * hop:c * hop + nwin].mean(axis=1))
+    return y
+
+
 def compute_gammatone_feature(wav_1d, fs, data_dim=DATA_DIM,
                               timesteps=TIMESTEPS, fmin: float = 50.0):
-    """gtgram-equivalent band-energy feature: true gammatone filterbank,
-    per-window RMS energy in dB, (timesteps, data_dim).
-
-    Capability parity with utils.py:119-142 (which uses the `gammatone`
-    package, unavailable here; this uses scipy's IIR gammatone — same
-    filter family, dB within normalisation of gtgram's integration)."""
-    from scipy.signal import gammatone, lfilter
-
+    """gtgram band-energy feature, (timesteps, data_dim) — numerical
+    parity with utils.py:119-142: win_time = hop_time = 1/timesteps,
+    gtgram via the Slaney algorithm above, 20*log10(gt + 1e-8),
+    pad/truncate to exactly `timesteps` frames."""
     wav = np.asarray(wav_1d, np.float32)
-    e = lambda f: 21.4 * np.log10(4.37e-3 * f + 1.0)
-    einv = lambda x: (10 ** (x / 21.4) - 1.0) / 4.37e-3
-    centers = np.clip(einv(np.linspace(e(fmin), e(fs / 2.0), data_dim)),
-                      1.0, fs / 2 - 1.0)
-    n = len(wav)
-    frame_len = max(1, n // timesteps)
-    total = frame_len * timesteps
-    wav = np.pad(wav, (0, max(0, total - n)))[:total]
-    frames = wav.reshape(timesteps, frame_len)
-
-    gt = np.zeros((data_dim, timesteps), np.float32)
-    for b, fc in enumerate(centers):
-        bc, ac = gammatone(fc, "iir", fs=fs)
-        sub = lfilter(bc, ac, wav).reshape(timesteps, frame_len)
-        gt[b] = np.sqrt(np.mean(sub ** 2, axis=1))
-    feat = 20.0 * np.log10(gt + 1e-8)
-    return feat.T.astype(np.float32)
+    win_time = 1.0 / timesteps
+    gt = gtgram_slaney(wav, fs, win_time, win_time, data_dim, fmin)
+    gt = 20.0 * np.log10(gt + 1e-8)
+    if gt.shape[1] < timesteps:
+        gt = np.pad(gt, ((0, 0), (0, timesteps - gt.shape[1])),
+                    mode="constant")
+    elif gt.shape[1] > timesteps:
+        gt = gt[:, :timesteps]
+    return gt.T.astype(np.float32)
 
 
 def compute_gammatone_mag_phase_direct(wav_1d, fs, data_dim=DATA_DIM,

@@ -43,15 +43,16 @@ def chain_timeit(make_fn, steps, windows):
     dispatch depends on the previous one."""
     import jax
     import jax.numpy as jnp
-    fn = make_fn()
+    made = make_fn()
+    fn, args = made if isinstance(made, tuple) else (made, ())
     carry = jnp.float32(0.0)
-    carry = fn(carry)
+    carry = fn(carry, *args)
     jax.block_until_ready(carry)
     ms = []
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(steps):
-            carry = fn(carry)
+            carry = fn(carry, *args)
         jax.block_until_ready(carry)
         ms.append((time.perf_counter() - t0) * 1000.0 / steps)
     return statistics.median(ms)
@@ -190,8 +191,8 @@ def main():
     def mk_conv_vmapped(prec):
         def make():
             @jax.jit
-            def f(carry):
-                segs = segs_in + carry * 1e-30
+            def f(carry, segs_a, meas_a, crop_a):
+                segs = segs_a + carry * 1e-30
 
                 def one(seg, m, c):
                     seg_pad = jnp.pad(seg, (L - 1, L - 1))
@@ -201,9 +202,9 @@ def main():
                         precision=prec)[0]
                     return lax.dynamic_slice(y, (0, c), (2, fs))
 
-                out = jax.vmap(jax.vmap(one))(segs, meas_in, crop_in)
+                out = jax.vmap(jax.vmap(one))(segs, meas_a, crop_a)
                 return out.sum() * 1e-9
-            return f
+            return f, (segs_in, meas_in, crop_in)
         return make
 
     rows["conv:vmapped_highest"] = mk_conv_vmapped(HI)
@@ -211,8 +212,8 @@ def main():
 
     def mk_conv_vmapped_nocrop():
         @jax.jit
-        def f(carry):
-            segs = segs_in + carry * 1e-30
+        def f(carry, segs_a, meas_a):
+            segs = segs_a + carry * 1e-30
 
             def one(seg, m):
                 seg_pad = jnp.pad(seg, (L - 1, L - 1))
@@ -222,19 +223,19 @@ def main():
                     precision=HI)[0]
                 return y[:, :fs]
 
-            out = jax.vmap(jax.vmap(one))(segs, meas_in)
+            out = jax.vmap(jax.vmap(one))(segs, meas_a)
             return out.sum() * 1e-9
-        return f
+        return f, (segs_in, meas_in)
 
     rows["conv:vmapped_nocrop"] = mk_conv_vmapped_nocrop
 
     def mk_conv_flat(prec):
         def make():
             @jax.jit
-            def f(carry):
-                segs = (segs_in + carry * 1e-30).reshape(X, fs)
+            def f(carry, segs_a, meas_a, crop_a):
+                segs = (segs_a + carry * 1e-30).reshape(X, fs)
                 seg_pad = jnp.pad(segs, ((0, 0), (L - 1, L - 1)))
-                kers = ir_rev[meas_in.reshape(X)]          # (X, 2, L)
+                kers = ir_rev[meas_a.reshape(X)]           # (X, 2, L)
                 y = lax.conv_general_dilated(
                     seg_pad[None], kers.reshape(2 * X, 1, L),
                     window_strides=(1,), padding="VALID",
@@ -243,9 +244,9 @@ def main():
                     precision=prec)
                 y = y[0].reshape(X, 2, fs + L - 1)
                 out = jax.vmap(lambda yy, c: lax.dynamic_slice(
-                    yy, (0, c), (2, fs)))(y, crop_in.reshape(X))
+                    yy, (0, c), (2, fs)))(y, crop_a.reshape(X))
                 return out.sum() * 1e-9
-            return f
+            return f, (segs_in, meas_in, crop_in)
         return make
 
     rows["conv:flat_highest"] = mk_conv_flat(HI)
@@ -269,22 +270,22 @@ def main():
             pad_to = (nf + 2) * 128
 
             @jax.jit
-            def f(carry):
-                segs = (segs_in + carry * 1e-30).reshape(X, fs)
+            def f(carry, segs_a, meas_a, crop_a):
+                segs = (segs_a + carry * 1e-30).reshape(X, fs)
                 segpad = jnp.pad(segs, ((0, 0), (L - 1, pad_to - fs - L + 1)))
                 blk = segpad.reshape(X, pad_to // 128, 128)
                 Sw = jnp.concatenate(
                     [blk[:, 0:nf], blk[:, 1:nf + 1], blk[:, 2:nf + 2]],
                     axis=-1)[:, :, :128 + L - 1]           # (X, nf, 383)
-                Kx = KB[meas_in.reshape(X)]                 # (X, 383, 256)
+                Kx = KB[meas_a.reshape(X)]                  # (X, 383, 256)
                 out = jnp.einsum("xfj,xjc->xfc", Sw, Kx,
                                  precision=prec)            # (X, nf, 256)
                 y = out.reshape(X, nf, 2, 128).transpose(0, 2, 1, 3)
                 y = y.reshape(X, 2, nf * 128)[:, :, :fs + L - 1]
                 yc = jax.vmap(lambda yy, c: lax.dynamic_slice(
-                    yy, (0, c), (2, fs)))(y, crop_in.reshape(X))
+                    yy, (0, c), (2, fs)))(y, crop_a.reshape(X))
                 return yc.sum() * 1e-9
-            return f
+            return f, (segs_in, meas_in, crop_in)
         return make
 
     rows["conv:toep_highest"] = mk_conv_toep(HI)
@@ -296,32 +297,32 @@ def main():
 
     def mk_crop_dyn():
         @jax.jit
-        def f(carry):
-            y = yfull_in + carry * 1e-30
+        def f(carry, y_a, crop_a):
+            y = y_a + carry * 1e-30
             out = jax.vmap(lambda yy, c: lax.dynamic_slice(
-                yy, (0, c), (2, fs)))(y, crop_in.reshape(X))
+                yy, (0, c), (2, fs)))(y, crop_a.reshape(X))
             return out.sum() * 1e-9
-        return f
+        return f, (yfull_in, crop_in)
 
     rows["crop:dynslice"] = mk_crop_dyn
 
     def mk_crop_static():
         @jax.jit
-        def f(carry):
-            y = yfull_in + carry * 1e-30
+        def f(carry, y_a):
+            y = y_a + carry * 1e-30
             return y[:, :, :fs].sum() * 1e-9
-        return f
+        return f, (yfull_in,)
 
     rows["crop:static"] = mk_crop_static
 
     # ---------------- cross-correlation ----------------
     def mk_cc_fft():
         @jax.jit
-        def f(carry):
-            wl = wavL_in + carry * 1e-30
-            cc = cross_correlation_feature(wl, wavR_in, fs, num_lags=100)
+        def f(carry, wl_a, wr_a):
+            wl = wl_a + carry * 1e-30
+            cc = cross_correlation_feature(wl, wr_a, fs, num_lags=100)
             return cc.sum() * 1e-9
-        return f
+        return f, (wavL_in, wavR_in)
 
     rows["cc:fft"] = mk_cc_fft
 
@@ -356,11 +357,11 @@ def main():
     def mk_cc_mxu(prec):
         def make():
             @jax.jit
-            def f(carry):
-                wl = wavL_in + carry * 1e-30
-                cc = cc_mxu_impl(wl, wavR_in, prec)
+            def f(carry, wl_a, wr_a):
+                wl = wl_a + carry * 1e-30
+                cc = cc_mxu_impl(wl, wr_a, prec)
                 return cc.sum() * 1e-9
-            return f
+            return f, (wavL_in, wavR_in)
         return make
 
     rows["cc:mxu_highest"] = mk_cc_mxu(HI)
@@ -368,10 +369,10 @@ def main():
 
     def mk_cc_depthconv():
         @jax.jit
-        def f(carry):
-            wl = wavL_in + carry * 1e-30
+        def f(carry, wl_a, wr_a):
+            wl = wl_a + carry * 1e-30
             lf = wl - jnp.mean(wl, axis=-1, keepdims=True)
-            rf = wavR_in - jnp.mean(wavR_in, axis=-1, keepdims=True)
+            rf = wr_a - jnp.mean(wr_a, axis=-1, keepdims=True)
             Lp = jnp.pad(lf, ((0, 0), (mk, mk)))       # (B, 16096)
             corr = lax.conv_general_dilated(
                 Lp[None], rf[:, None, :],
@@ -384,7 +385,7 @@ def main():
             c0 = cc_crop[:, j0_d]
             c1 = cc_crop[:, j0_d + 1]
             return (c0 + w_d[None, :] * (c1 - c0)).sum() * 1e-9
-        return f
+        return f, (wavL_in, wavR_in)
 
     rows["cc:depthconv"] = mk_cc_depthconv
 
