@@ -184,6 +184,42 @@ class AnechoicSynthesizer:
             self._bank["H_re"] = jax.device_put(H.real.astype(np.float32))
             self._bank["H_im"] = jax.device_put(H.imag.astype(np.float32))
 
+        # ---- fully-batched fast path (round 3; tools/bench_synth_parts*)
+        # One padded-row Pallas window gather + ONE block-Toeplitz batched
+        # matmul replace the per-sample select/conv/crop chain: measured
+        # 41.7 ms -> ~6 ms per batch-1024 synthesis on one v5e. Zero-guard
+        # row expansion (segment x block-offset) keeps the reference's
+        # zero-padded conv-edge semantics bit-for-bit.
+        from ..ops.window_gather import (WIN_BLOCKS, pad_pool_for_windows)
+        # qoff range from the ORIGINAL segment length (selections must stay
+        # inside real content — same bound as the per-sample path)
+        self._n_q = ((self._seg_len - self.fs) // 128 + 1
+                     if self._mxu_select else 0)
+        kb_bytes = M * (128 + L - 1) * 256 * 4
+        self._fast = bool(
+            self._mxu_select and self._direct_conv and L <= 257
+            and 1 <= self._n_q <= 8
+            and self.fs + L - 1 <= WIN_BLOCKS * 128
+            and kb_bytes <= 768 * 2**20)
+        if self._fast:
+            NPn = segments.shape[0]
+            rows = np.zeros((NPn * self._n_q, self.fs), np.float32)
+            for q in range(self._n_q):
+                rows[q::self._n_q] = segments[:, q * 128:q * 128 + self.fs]
+            self._bank["pool3"] = jax.device_put(
+                pad_pool_for_windows(rows, L - 1, L - 1))
+            # block-Toeplitz kernel bank: KB[m, jj, e*128+i] =
+            # ir_rev[m, e, jj-i] (the whole HRIR conv as ONE (nf, 383) x
+            # (383, 256) matmul per (sample, source))
+            ir_rev = np.ascontiguousarray(ir[:, :, ::-1])
+            jj = np.arange(128 + L - 1)[:, None]
+            ii = np.arange(128)[None, :]
+            d = jj - ii
+            KB = ir_rev[:, :, d.clip(0, L - 1)] * ((d >= 0) & (d < L))
+            self._bank["KB"] = jax.device_put(
+                KB.transpose(0, 2, 1, 3).reshape(M, 128 + L - 1, 256)
+                .astype(np.float32))
+
     # ---------------- single-sample program (vmapped) ----------------
 
     def _one(self, bank, key, n_src_fixed: int):
@@ -266,6 +302,117 @@ class AnechoicSynthesizer:
                 "active": maskf}
         return y_lr[0], y_lr[1], y, meta
 
+    # ---------------- fully-batched fast path ----------------
+
+    def _scene_batched(self, key, batch_size: int, n_src_fixed: int):
+        """All per-sample draws as ONE batched call per variable (the
+        per-sample split/permutation chain costs ~3 ms at batch 1024 —
+        tools/bench_synth_parts.py 'scene'). Distinct sectors via argsort
+        of iid uniforms (a uniformly random permutation, matching
+        jax.random.permutation's distribution)."""
+        B, MS, S = batch_size, self.max_sources, self.n_sectors
+        ks = jax.random.split(key, 6)
+        if n_src_fixed > 0:
+            n_src = jnp.full((B,), n_src_fixed, jnp.int32)
+        else:
+            n_src = jax.random.randint(ks[0], (B,), 1, MS + 1)
+        active = jnp.arange(MS)[None, :] < n_src[:, None]       # (B, MS)
+        u8 = jax.random.uniform(ks[1], (B, S))
+        sectors = jnp.argsort(u8, axis=1)[:, :MS]               # distinct
+        u = jax.random.uniform(ks[2], (B, MS))
+        counts = jnp.asarray(self._sector_counts)[sectors]
+        kslot = jnp.minimum((u * counts).astype(jnp.int32), counts - 1)
+        meas = jnp.asarray(self._sector_table)[sectors, kslot]  # (B, MS)
+        n_segs = self._bank["segments"].shape[0]
+        seg_idx = jax.random.randint(ks[3], (B, MS), 0, n_segs)
+        qoff = jax.random.randint(ks[4], (B, MS), 0, self._n_q or 1)
+        crop = jax.random.randint(ks[5], (B, MS), 0, self.ir_len)
+        return active, sectors, meas, seg_idx, qoff, crop
+
+    def _mix_fast(self, bank, active, meas, seg_idx, qoff, crop,
+                  batch_size: int):
+        """windows -> block-Toeplitz HRIR conv -> masked source sum.
+
+        out[b,e,t] = sum_s active * sum_k seg[t + c - k] ir[m, e, k] —
+        bit-for-bit the per-sample conv+crop path (zero-guard rows
+        reproduce the reference's zero-padded conv edges,
+        generate_anechoic_data.py:154-186). The contraction is ONE
+        (nf, 128+L-1) x (128+L-1, 256) matmul per (sample, source) at
+        Precision.HIGH (bf16_3x ~ f32: waveforms are training data)."""
+        from ..ops.window_gather import gather_windows
+        B, MS, fs, L = batch_size, self.max_sources, self.fs, self.ir_len
+        X = B * MS
+        nf = fs // 128
+        rows = (seg_idx * self._n_q + qoff).reshape(X)
+        win = gather_windows(bank["pool3"], rows, crop.reshape(X))
+        nh = -(-(L - 1) // 128)                    # halo blocks (256 -> 2)
+        Fw = jnp.concatenate([win[:, k:k + nf] for k in range(nh + 1)],
+                             axis=-1)[:, :, :128 + L - 1]    # (X, nf, 383)
+        Kx = bank["KB"][meas.reshape(X)]                     # (X, 383, 256)
+        out = jnp.einsum("xfj,xjc->xfc", Fw, Kx,
+                         precision=jax.lax.Precision.HIGH)
+        out = out.reshape(B, MS, nf, 2, 128)
+        out = out * active.astype(out.dtype)[:, :, None, None, None]
+        y = out.sum(axis=1).transpose(0, 2, 1, 3).reshape(B, 2, fs)
+        peak = jnp.maximum(jnp.max(jnp.abs(y), axis=(1, 2), keepdims=True),
+                           1e-8)
+        return y / peak
+
+    def _labels_batched(self, bank, active, sectors, meas):
+        """Batched scatter-free label build — same algebra as _one."""
+        S = self.n_sectors
+        hi = jax.lax.Precision.HIGHEST
+        maskf = active.astype(jnp.float32)
+        sec1 = jax.nn.one_hot(sectors, S, dtype=jnp.float32)   # (B, MS, S)
+        sound = jnp.einsum("bms,bm->bs", sec1, maskf, precision=hi)
+        angle = jnp.einsum("bms,bm->bs", sec1,
+                           bank["meas_norm"][meas] * maskf, precision=hi)
+        base = jnp.concatenate(
+            [jnp.ones((S, 1)), jnp.zeros((S, N_DIST_CLASSES - 1))], axis=1)
+        dcls_i = bank["meas_dcls"][meas].astype(jnp.int32)
+        rows = jax.nn.one_hot(
+            jnp.where(active, dcls_i + 1, 0), N_DIST_CLASSES)
+        covered = jnp.sum(sec1, axis=1)                        # (B, S)
+        onehot = (base[None] * (1.0 - covered)[:, :, None]
+                  + jnp.einsum("bms,bmc->bsc", sec1, rows, precision=hi))
+        B = active.shape[0]
+        return jnp.concatenate(
+            [sound[..., None], angle[..., None], onehot],
+            axis=2).reshape(B, -1)
+
+    def _assemble_fast(self, bank, key, batch_size: int, n_src_fixed: int,
+                       out_sharding=None, with_meta: bool = False):
+        active, sectors, meas, seg_idx, qoff, crop = self._scene_batched(
+            key, batch_size, n_src_fixed)
+        y_lr = self._mix_fast(bank, active, meas, seg_idx, qoff, crop,
+                              batch_size)
+        wavL, wavR = y_lr[:, 0], y_lr[:, 1]
+        x3 = cross_correlation_feature(wavL, wavR, self.fs,
+                                       num_lags=self.num_lags)
+        y = self._labels_batched(bank, active, sectors, meas)
+        out = (wavL, wavR, x3, y)
+        if out_sharding is not None:
+            out = jax.lax.with_sharding_constraint(out,
+                                                   (out_sharding,) * 4)
+        if with_meta:
+            meta = {"meas": meas.astype(jnp.float32),
+                    "sector_id": sectors.astype(jnp.float32),
+                    "active": active.astype(jnp.float32)}
+            return (*out, meta)
+        return out
+
+    def _assemble(self, bank, key, batch_size: int, n_src_fixed: int,
+                  out_sharding=None):
+        """Dispatch-shape-shared assembly (used by sample_batch AND the
+        fused train chunk's batch_fn): fast batched path when the
+        geometry allows, per-sample vmap otherwise."""
+        if self._fast:
+            return self._assemble_fast(bank, key, batch_size, n_src_fixed,
+                                       out_sharding)
+        return assemble_batch(self._one, bank, key, batch_size,
+                              n_src_fixed, self.fs, self.num_lags,
+                              out_sharding)
+
     def set_output_sharding(self, sharding) -> None:
         """Emit batches already laid out for the training mesh (batch axis
         sharded over 'data'): the sampler's outputs get a
@@ -277,11 +424,14 @@ class AnechoicSynthesizer:
     @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
     def _batch(self, bank, key, batch_size: int, n_src_fixed: int,
                out_sharding=None):
-        return assemble_batch(self._one, bank, key, batch_size, n_src_fixed,
-                              self.fs, self.num_lags, out_sharding)
+        return self._assemble(bank, key, batch_size, n_src_fixed,
+                              out_sharding)
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def _batch_meta(self, bank, key, batch_size: int, n_src_fixed: int):
+        if self._fast:
+            return self._assemble_fast(bank, key, batch_size, n_src_fixed,
+                                       with_meta=True)
         keys = jax.random.split(key, batch_size)
         wavL, wavR, y, meta = jax.vmap(
             lambda k: self._one(bank, k, n_src_fixed))(keys)
@@ -299,14 +449,27 @@ class AnechoicSynthesizer:
                            0 if n_src is None else int(n_src),
                            self._out_sharding)
 
+    @property
+    def bank(self):
+        """Device-array bank to pass INTO the caller's jit as an argument.
+
+        Never close over these arrays inside a jitted function: on this
+        image's TPU tunnel a captured device array is re-streamed from the
+        host on EVERY use — ~117 ms per access for a 131 MB constant vs
+        2.4 ms for the whole train step, and a lax.scan pays it per
+        iteration (tools/bench_chunk_probe.py, round 3). Banks must ride
+        the argument path."""
+        return self._bank
+
     def batch_fn(self, batch_size: int, n_src: int | None = None):
-        """Pure (key) -> batch closure for use INSIDE a caller's jit (the
-        fused multi-step train chunk): same numerics and RNG contract as
-        sample_batch, no jit boundary of its own."""
+        """Pure (bank, key) -> batch closure for use INSIDE a caller's jit
+        (the fused multi-step train chunk): same numerics and RNG contract
+        as sample_batch, no jit boundary of its own. The bank argument
+        must be this synthesizer's `.bank`, threaded through the caller's
+        jit boundary (see `bank` for why it cannot be captured)."""
         nsf = 0 if n_src is None else int(n_src)
-        return functools.partial(assemble_batch, self._one, self._bank,
+        return functools.partial(self._assemble,
                                  batch_size=batch_size, n_src_fixed=nsf,
-                                 fs=self.fs, num_lags=self.num_lags,
                                  out_sharding=self._out_sharding)
 
     def sample_batch_meta(self, key, batch_size: int,

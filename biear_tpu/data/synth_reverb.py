@@ -288,11 +288,17 @@ class ReverbSynthesizer:
                            0 if n_src is None else int(n_src),
                            self._out_sharding)
 
+    @property
+    def bank(self):
+        """Device-array bank — pass into the caller's jit as an argument
+        (see AnechoicSynthesizer.bank for the tunnel constraint)."""
+        return self._bank
+
     def batch_fn(self, batch_size: int, n_src: int | None = None):
-        """Pure (key) -> batch closure for use INSIDE a caller's jit — see
-        AnechoicSynthesizer.batch_fn."""
+        """Pure (bank, key) -> batch closure for use INSIDE a caller's jit
+        — see AnechoicSynthesizer.batch_fn."""
         nsf = 0 if n_src is None else int(n_src)
-        return functools.partial(assemble_batch, self._one, self._bank,
+        return functools.partial(assemble_batch, self._one,
                                  batch_size=batch_size, n_src_fixed=nsf,
                                  fs=self.fs, num_lags=self.num_lags,
                                  out_sharding=self._out_sharding)

@@ -1,0 +1,110 @@
+"""Sample-granular window extraction from a segment pool — Pallas kernel.
+
+THE hot data-movement op of on-device synthesis: every training sample
+needs MS conv-input windows ``pool[row, off : off + 16384]`` with
+sample-granular offsets (off = 128-block segment offset + the reference's
+random conv crop, generate_anechoic_data.py:91-108,154-186). XLA lowers
+the vmapped dynamic_slice to a gather running at ~23 GB/s on v5e — 17 ms
+per batch-1024 step, the single largest term in the fused
+synthesize->train pipeline (tools/bench_synth_parts*.py, round 3).
+
+The kernel does what the op actually is — a DMA per row plus a lane
+rotation: the grid pipelines one padded pool row (VMEM block, row index
+from scalar prefetch) per window; the body slices the 128-aligned part
+(dynamic sublane offset) and applies the sub-block offset as a dynamic
+lane roll across the block boundary. HBM traffic is the theoretical
+minimum (one row read + one window write).
+
+Mosaic bug dodged (measured on this image's libtpu): deriving a DMA
+*descriptor* offset from a scalar-memory read crashes the remote
+compiler (tpu_compile_helper exit 1), so the row index rides the
+BlockSpec index_map (the supported scalar-prefetch path) and only
+VMEM-internal offsets come from in-body scalar reads.
+
+Layout contract: pool rows are pre-padded to ``[0]*(L-1) ++ row ++ 0s``
+and viewed as (NP, n_blocks, 128); windows come back as (X, 128, 128)
+block form — exactly what the block-Toeplitz HRIR convolution consumes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WIN_BLOCKS = 128          # output window: 128 lane-blocks = 16384 samples
+
+
+def pad_pool_for_windows(pool: np.ndarray, left_pad: int,
+                         max_off: int) -> np.ndarray:
+    """Host-side: pad (NP, T) rows to ``[0]*left_pad ++ row ++ 0s`` and
+    reshape to the (NP, n_blocks, 128) block view the kernel reads.
+    n_blocks covers max_off + the window + one roll-lookahead block."""
+    NP, T = pool.shape
+    need = left_pad + T
+    min_width = left_pad + max_off + WIN_BLOCKS * 128
+    n_blocks = -(-max(need, min_width) // 128) + 1   # +1: roll lookahead
+    out = np.zeros((NP, n_blocks * 128), pool.dtype)
+    out[:, left_pad:left_pad + T] = pool
+    return out.reshape(NP, n_blocks, 128)
+
+
+def _window_kernel(rows_ref, qb_ref, cl_ref, pool_ref, out_ref):
+    i = pl.program_id(0)
+    c = cl_ref[i]
+    a = pool_ref[0, pl.ds(qb_ref[i], WIN_BLOCKS), :]
+    b = pool_ref[0, pl.ds(qb_ref[i] + 1, WIN_BLOCKS), :]
+    ra = pltpu.roll(a, -c, 1)
+    rb = pltpu.roll(b, -c, 1)
+    lane = lax.broadcasted_iota(jnp.int32, (WIN_BLOCKS, 128), 1)
+    out_ref[0] = jnp.where(lane < 128 - c, ra, rb)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _gather_windows_pallas(pool3, rows, offs, interpret: bool):
+    X = rows.shape[0]
+    nb = pool3.shape[1]
+    qb = (offs // 128).astype(jnp.int32)
+    cl = (offs % 128).astype(jnp.int32)
+    return pl.pallas_call(
+        _window_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(X,),
+            in_specs=[pl.BlockSpec((1, nb, 128),
+                                   lambda i, r, q, c: (r[i], 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, WIN_BLOCKS, 128),
+                                   lambda i, r, q, c: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((X, WIN_BLOCKS, 128), pool3.dtype),
+        interpret=interpret,
+    )(rows.astype(jnp.int32), qb, cl, pool3)
+
+
+def _gather_windows_xla(pool3, rows, offs):
+    """Fallback: vmapped dynamic_slice on the flattened rows (CPU tests,
+    or any platform where the kernel is unavailable)."""
+    NP, nb, _ = pool3.shape
+    flat = pool3.reshape(NP, nb * 128)
+    return jax.vmap(
+        lambda r, o: lax.dynamic_slice(flat[r], (o,), (WIN_BLOCKS * 128,))
+    )(rows, offs).reshape(-1, WIN_BLOCKS, 128)
+
+
+def gather_windows(pool3, rows, offs, *, use_kernel: bool | None = None):
+    """(X,) rows + (X,) sample offsets -> (X, 128, 128) window blocks:
+    out[x].reshape(16384)[t] == pool3[rows[x]].reshape(-1)[offs[x] + t].
+
+    use_kernel: None = kernel on TPU, XLA fallback elsewhere."""
+    if use_kernel is None:
+        use_kernel = jax.default_backend() not in ("cpu",)
+    if use_kernel:
+        return _gather_windows_pallas(pool3, rows, offs, False)
+    return _gather_windows_xla(pool3, rows, offs)

@@ -2,15 +2,21 @@
 
 The reference computes a full O(N^2) np.correlate over the 16000-sample
 ears, crops to +/-3 ms, peak-normalises and linearly resamples to 100 lags
-(utils.py:390-420). TPU-native restructure:
+(utils.py:390-420). TPU-native restructure, chosen by measurement
+(tools/bench_synth_parts*.py, one v5e, batch 1024):
 
-  * the correlation runs as an FFT product (O(N log N)), batched over the
-    whole minibatch in one rfft/irfft pair;
-  * only the +/-max_lag window of the circular correlation is gathered;
-  * the lag crop and the np.interp resampling grid depend only on static
-    (fs, N, num_lags) so they collapse to a precomputed sparse linear map
-    applied as two gathers + a fused multiply-add.
+  * MXU path (default for 128-aligned N): only the ±max_lag window is ever
+    needed, so the correlation is a block contraction — frame both ears
+    into 128-sample blocks, batched matmul (B, 128, nf) x (B, nf, 256)
+    over the frame axis, then read the 97 kept lags as strided diagonals
+    of the result (pad + reshape with stride W+1 — no gather, no second
+    matmul). 3.7 ms vs the FFT path's 10.5 ms at batch 1024; max
+    divergence from the FFT path 5e-7.
+  * FFT fallback (any N): rfft/irfft pair with fft_len halved to
+    N + max_lag (exact for the kept window — zero overlap beyond it).
 
+The lag crop and the np.interp resampling grid depend only on static
+(fs, N, num_lags) so they collapse to a precomputed linear map.
 Numerically identical to the reference up to float32 accumulation order.
 """
 
@@ -19,6 +25,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -46,6 +53,39 @@ def _lag_plan(n: int, fs: int, num_lags: int, max_lag_ms: float):
     return kept.astype(np.int64), (j - 1).astype(np.int64), w.astype(np.float32)
 
 
+def _interp_to_lags(cc_crop, j0, w):
+    """Shared peak-normalise + np.interp-equivalent resample stage."""
+    peak = jnp.max(jnp.abs(cc_crop), axis=-1, keepdims=True) + 1e-8
+    cc_crop = cc_crop / peak
+    c0 = cc_crop[:, j0]
+    c1 = cc_crop[:, j0 + 1]
+    return (c0 + w[None, :] * (c1 - c0)).astype(jnp.float32)
+
+
+def _cc_kept_lags_mxu(lf, rf, max_kept: int):
+    """corr[l] for l in [-max_kept, max_kept] as one batched block matmul
+    + strided-diagonal reduce. Requires N % 128 == 0, 2*max_kept <= 128.
+
+    Derivation: with Lp = pad(lf, max_kept) and m = 128 f + i,
+      corr[s - max_kept] = sum_{f,i} rf[128 f + i] * Lp[128 f + i + s],
+    so C[b, i, j] = sum_f Rf[b, f, i] Lw[b, f, j]  (Lw = 2-block halo
+    frames of Lp) holds every kept lag on the diagonals j = i + s; with
+    row width W the diagonal elements sit at flat stride W + 1, so a pad
+    to (128, W + 1) rows and a slice reads them without any gather."""
+    B, n = lf.shape
+    nf = n // 128
+    halo = 2 * 128         # Lw width; covers j = i + s <= 127 + 2*max_kept
+    Lp = jnp.pad(lf, ((0, 0), (max_kept, 128 - max_kept)))
+    Lb = Lp.reshape(B, nf + 1, 128)
+    Lw = jnp.concatenate([Lb[:, :nf], Lb[:, 1:nf + 1]], axis=-1)
+    Rf = rf.reshape(B, nf, 128)
+    C = jnp.einsum("bfi,bfj->bij", Rf, Lw,
+                   precision=jax.lax.Precision.HIGHEST)      # (B, 128, 256)
+    n_s = 2 * max_kept + 1
+    Cp = jnp.pad(C.reshape(B, 128 * halo), ((0, 0), (0, 128)))
+    return Cp.reshape(B, 128, halo + 1)[:, :, :n_s].sum(axis=1)
+
+
 def cross_correlation_feature(left, right, fs: int, num_lags: int = 100,
                               max_lag_ms: float = 3.0):
     """Batched CC feature: left, right (B, N) -> (B, num_lags) float32.
@@ -59,32 +99,25 @@ def cross_correlation_feature(left, right, fs: int, num_lags: int = 100,
     B, n = left.shape
     kept, j0, w = _lag_plan(n, fs, num_lags, max_lag_ms)
     max_kept = int(np.max(np.abs(kept)))
-    kept = jnp.asarray(kept)
     j0 = jnp.asarray(j0)
     w = jnp.asarray(w)
 
     lf = left - jnp.mean(left, axis=-1, keepdims=True)
     rf = right - jnp.mean(right, axis=-1, keepdims=True)
 
-    # Linear cross-correlation via zero-padded FFT. Exactness needs only
-    # fft_len >= n + max|kept lag|, not the full 2n-1: circular wrap at a
-    # kept lag l aliases in corr(l - fft_len), and for length-n signals
-    # every lag with |lag| > fft_len - n has ZERO overlap. Since the kept
-    # window is +/-3 ms (48 samples at 16 kHz), this halves the FFT to
-    # 16384 — the CC is the dominant FFT cost of the fused
-    # synthesize->train pipeline (tools/bench_breakdown.py).
+    if n % 128 == 0 and 2 * max_kept <= 128:
+        return _interp_to_lags(_cc_kept_lags_mxu(lf, rf, max_kept), j0, w)
+
+    # FFT fallback for unaligned N. Exactness needs only fft_len >=
+    # n + max|kept lag|, not the full 2n-1: circular wrap at a kept lag l
+    # aliases in corr(l - fft_len), and for length-n signals every lag
+    # with |lag| > fft_len - n has ZERO overlap.
     fft_len = 1
     while fft_len < n + max_kept:
         fft_len *= 2
+    kept = jnp.asarray(kept)
     L = jnp.fft.rfft(lf, n=fft_len)
     R = jnp.fft.rfft(rf, n=fft_len)
     corr = jnp.fft.irfft(L * jnp.conj(R), n=fft_len)     # (B, fft_len)
     # corr[l mod fft_len] = sum_m left[m+l] right[m]; gather the kept lags.
-    cc_crop = corr[:, jnp.mod(kept, fft_len)]            # (B, n_kept)
-
-    peak = jnp.max(jnp.abs(cc_crop), axis=-1, keepdims=True) + 1e-8
-    cc_crop = cc_crop / peak
-
-    c0 = cc_crop[:, j0]
-    c1 = cc_crop[:, j0 + 1]
-    return (c0 + w[None, :] * (c1 - c0)).astype(jnp.float32)
+    return _interp_to_lags(corr[:, jnp.mod(kept, fft_len)], j0, w)

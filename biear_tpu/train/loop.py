@@ -220,19 +220,26 @@ def make_train_chunk(cfg, hp: TrainHyper, optimizer, model: str,
     latency (~200 ms) exceeds the step compute by two orders of magnitude.
     One scan dispatch amortises it across the whole chunk.
 
-    synth_batch_fn: pure (key) -> batch tuple (from synth.batch_fn()).
-    Returns jitted (params, opt_state, rng, lr_scale) ->
+    synth_batch_fn: pure (bank, key) -> batch tuple (from
+    synth.batch_fn()). The synthesizer's device-array bank is threaded
+    through the jit boundary as run_chunk's first argument — NEVER closed
+    over: on this image's TPU tunnel a captured device array is
+    re-streamed from the host on every USE, and a lax.scan pays that per
+    iteration (~114 ms/step vs 2.4 ms with the argument path;
+    tools/bench_chunk_probe.py, round 3).
+
+    Returns jitted (bank, params, opt_state, rng, lr_scale) ->
     (params, opt_state, stacked-metrics) where every metric leaf gains a
     leading (chunk_steps,) axis. RNG contract matches _SynthSource + the
     per-batch path: per step, one key split into (synthesis, dropout)."""
     loss_impl = _loss_fn(model)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def run_chunk(params, opt_state, rng, lr_scale):
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def run_chunk(bank, params, opt_state, rng, lr_scale):
         def body(carry, k):
             params, opt_state = carry
             k_synth, k_step = jax.random.split(k)
-            batch = synth_batch_fn(k_synth)
+            batch = synth_batch_fn(bank, k_synth)
             params, opt_state, m = _train_step_core(
                 loss_impl, cfg, hp, optimizer, max_param_log,
                 params, opt_state, batch, k_step, lr_scale)

@@ -372,7 +372,7 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
             chunk_idx += 1
             gs_before = global_step
             params, opt_state, ms = get_chunk_runner(c)(
-                params, opt_state, k, jnp.float32(lr_scale))
+                synth.bank, params, opt_state, k, jnp.float32(lr_scale))
             sums = _accumulate(sums, ms, rc.batch_size)
             done += c
             global_step += c

@@ -246,3 +246,49 @@ def test_train_true_requires_rng(rng):
     w = jnp.zeros((1, 1600))
     with pytest.raises(ValueError, match="requires rng"):
         active_forward(params, cfg, w, w, train=True)
+
+
+def test_fast_mix_matches_numpy_conv_oracle():
+    """The batched window-gather + block-Toeplitz mix must equal the
+    reference conv semantics bit-for-bit modulo f32 rounding: for fixed
+    scene draws, out[b,e,t] = sum_s act * (seg_s conv ir_m)[t + c_s] with
+    zero-padded conv edges (generate_anechoic_data.py:154-186)."""
+    import jax
+    import jax.numpy as jnp
+    from biear_tpu.data.synth import (AnechoicSynthesizer,
+                                      make_test_hrir_bank,
+                                      make_test_segments)
+
+    ir, az, dist = make_test_hrir_bank()
+    segs = make_test_segments(8)
+    sy = AnechoicSynthesizer(ir, az, dist, segs, fs=16000)
+    assert sy._fast
+    rng = np.random.default_rng(7)
+    B, MS, fs, L = 3, 3, 16000, ir.shape[2]
+    meas = rng.integers(0, ir.shape[0], (B, MS))
+    seg_idx = rng.integers(0, 8, (B, MS))
+    qoff = np.zeros((B, MS), np.int64)
+    crop = rng.integers(0, L, (B, MS))
+    active = np.zeros((B, MS), bool)
+    active[0, :1] = True
+    active[1, :2] = True
+    active[2, :] = True
+
+    y = np.asarray(sy._mix_fast(
+        {k: v for k, v in sy._bank.items()},
+        jnp.asarray(active), jnp.asarray(meas), jnp.asarray(seg_idx),
+        jnp.asarray(qoff), jnp.asarray(crop), B))
+
+    want = np.zeros((B, 2, fs))
+    for b in range(B):
+        mix = np.zeros((2, fs))
+        for s in range(MS):
+            if not active[b, s]:
+                continue
+            seg = segs[seg_idx[b, s], :fs].astype(np.float64)
+            for e in range(2):
+                full = np.convolve(seg, ir[meas[b, s], e].astype(np.float64))
+                mix[e] += full[crop[b, s]:crop[b, s] + fs]
+        peak = max(np.abs(mix).max(), 1e-8)
+        want[b] = mix / peak
+    np.testing.assert_allclose(y, want, atol=2e-5)

@@ -217,7 +217,8 @@ def test_train_chunk_matches_per_step_path():
     step = make_train_step(cfg, hp, opt, "active")
 
     rng = jax.random.PRNGKey(7)
-    p1, o1, ms = chunk(jax.tree.map(jnp.copy, params),
+    p1, o1, ms = chunk(synth.bank,
+                       jax.tree.map(jnp.copy, params),
                        jax.tree.map(jnp.copy, opt_state),
                        rng, jnp.float32(1.0))
 

@@ -139,7 +139,7 @@ def main():
 
     def chunk_once():
         cstate["p"], cstate["o"], ms = chunk(
-            cstate["p"], cstate["o"], nk(), jnp.float32(1.0))
+            synth.bank, cstate["p"], cstate["o"], nk(), jnp.float32(1.0))
         return ms["loss"]
 
     chunk_rate = _timeit(chunk_once, max(args.steps // 4, 2), args.windows)
