@@ -2,28 +2,39 @@
 """Benchmark: active-mode training throughput (utterances/sec/chip).
 
 Prints ONE JSON line:
-  {"metric": "active_train_utterances_per_sec", "value": N, "unit": "utt/s",
-   "vs_baseline": R, "best": ..., "median": ..., "flops_per_utt": ...,
-   "mfu": ..., "device": ...}
+  {"metric": "fused_train_pipeline_utterances_per_sec", "value": N,
+   "unit": "utt/s", "vs_baseline": R, "model_step_utt_s": ...,
+   "flops_per_utt": ..., "mfu": ..., "device": ..., "baseline_device": ...}
 
-The metric is full training steps (fwd + BPTT + optimizer update, flagship
-dual-controller adaptive-Q model) on the default JAX device, at this chip's
-production operating point (batch 1024 with frontend remat; see the
-RESULTS.md batch-scaling table). `value` is the MEDIAN of the timed
-windows (the honest expectation through this image's flaky TPU tunnel);
-`best` is the max (the hardware capability). flops_per_utt comes from the
-compiled executable's own cost analysis (XLA's count, not a hand
-estimate), and mfu = achieved FLOP/s / chip peak for the dtype the policy
-actually runs (bf16-class MXU under the default matmul precision).
+The HEADLINE metric is the production training pipeline: the fused
+on-device synthesize->train chunk (scene sampling + HRIR mixing + CC
+feature + fwd + BPTT + Adam, flagship dual-controller adaptive-Q model)
+at batch 1024 — what a user actually gets per chip-second of training.
+`model_step_utt_s` reports the bare train step on a fixed in-HBM batch
+(the round-1/2 headline) for continuity.
 
-Baseline: the PyTorch reference publishes no numbers (BASELINE.md), so the
-denominator is the reference implementation itself (its own batch-64
-config), timed on this host (torch, CPU — the only device torch has here)
-the first time bench runs and cached in BENCH_BASELINE.json.
-vs_baseline = median / reference, both in utterances/sec/chip.
+Measurement methodology (round 3): on this image's tunnelled TPU,
+`jax.block_until_ready` returns before execution completes, so timing
+windows that end with it measure DISPATCH rate, not compute — the fused
+step "measured" 0.18 ms that way vs a true 126 ms. Every timed window
+here therefore ends with a `jax.device_get` (a data transfer, which does
+force completion), and linear scaling over window length was verified
+when the method was established (tools/bench_scan_bisect.py).
 
---trace DIR dumps a jax.profiler trace of one timed window for kernel-level
-attribution (used by RESULTS.md's where-the-time-goes analysis).
+flops_per_utt comes from the compiled executable's own cost analysis
+(XLA's count, not a hand estimate); mfu = achieved FLOP/s / chip peak for
+the dtype the policy actually runs (bf16-class MXU under the default
+matmul precision).
+
+Baseline: the PyTorch reference publishes no numbers (BASELINE.md), so
+the denominator is the reference implementation itself (its own batch-64
+config), timed on this host over >=20 steps with warmup discard — torch
+has only the CPU here, which the JSON self-describes via
+"baseline_device" (a cross-device comparison: one v5e chip vs one host
+CPU; the reference's dev GPU is not available for a like-for-like run).
+
+--trace DIR dumps a jax.profiler trace of one timed window for
+kernel-level attribution.
 """
 
 from __future__ import annotations
@@ -37,9 +48,11 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
-BATCH = 1024   # per-chip production operating point (RESULTS.md scaling table)
-STEPS = 20
-WINDOWS = 5
+BATCH = 1024   # per-chip production operating point
+CHUNK = 16     # fused-chunk scan length (production SYNTH_CHUNK_STEPS)
+STEPS = 20     # model-step window length
+CHUNK_DISPATCHES = 3   # fused windows: 3 dispatches x CHUNK steps
+WINDOWS = 3
 
 # Peak dense matmul throughput per chip, bf16 inputs (the default-precision
 # MXU mode), FLOP/s. Sources: public TPU spec sheets.
@@ -69,6 +82,10 @@ def measure_ours(trace_dir: str | None = None) -> dict:
     from biear_tpu.models import BiEARConfig
     from biear_tpu.models.biear import init_active
     from biear_tpu.train import TrainHyper, make_optimizer, make_train_step
+    from biear_tpu.train.loop import make_train_chunk
+    from biear_tpu.data.synth import (AnechoicSynthesizer,
+                                      make_test_hrir_bank,
+                                      make_test_segments)
 
     cfg = BiEARConfig(controller_mode="dual", deltaQ_mode="relative",
                       deltaQ_base=1.0, deltaQ_low_factor=0.3,
@@ -112,44 +129,81 @@ def measure_ours(trace_dir: str | None = None) -> dict:
     except Exception as e:                           # pragma: no cover
         print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
 
-    # warmup (first execution also smokes out runtime errors)
-    params, opt_state, m = step(params, opt_state, batch, k, jnp.float32(1.0))
-    jax.block_until_ready(m["loss"])
+    def sync(m):
+        # device_get forces execution completion (block_until_ready does
+        # not, on this tunnel backend — see module docstring)
+        return jax.device_get(m["loss"] if isinstance(m, dict) else m)
 
-    rates = []
+    # ---- bare model step (fixed in-HBM batch) ----
+    params_b, opt_state_b, m = step(params, opt_state, batch, k,
+                                    jnp.float32(1.0))
+    sync(m)                                          # warmup
+    step_rates = []
     for w in range(WINDOWS):
         t0 = time.perf_counter()
         for _ in range(STEPS):
             key, k = jax.random.split(key)
-            params, opt_state, m = step(params, opt_state, batch, k,
-                                        jnp.float32(1.0))
-        jax.block_until_ready(m["loss"])
-        rates.append(BATCH * STEPS / (time.perf_counter() - t0))
+            params_b, opt_state_b, m = step(params_b, opt_state_b, batch,
+                                            k, jnp.float32(1.0))
+        sync(m)
+        step_rates.append(BATCH * STEPS / (time.perf_counter() - t0))
 
     if trace_dir:
         with jax.profiler.trace(trace_dir):
             for _ in range(4):
                 key, k = jax.random.split(key)
-                params, opt_state, m = step(params, opt_state, batch, k,
-                                            jnp.float32(1.0))
-            jax.block_until_ready(m["loss"])
+                params_b, opt_state_b, m = step(params_b, opt_state_b,
+                                                batch, k, jnp.float32(1.0))
+            sync(m)
         print(f"[bench] profiler trace written to {trace_dir}",
               file=sys.stderr)
+    del params_b, opt_state_b
 
-    median = statistics.median(rates)
+    # ---- fused synthesize->train pipeline (production path) ----
+    ir, az, dist = make_test_hrir_bank()
+    segs = make_test_segments(256)
+    synth = AnechoicSynthesizer(ir, az, dist, segs, fs=cfg.fs,
+                                num_lags=cfg.n_bands)
+    chunk = make_train_chunk(cfg, hp, opt, "active", synth.batch_fn(BATCH),
+                             CHUNK)
+    st = {"p": params, "o": opt_state}
+
+    def chunk_once():
+        key2, k2 = jax.random.split(kh["k"])
+        kh["k"] = key2
+        st["p"], st["o"], ms = chunk(synth.bank, st["p"], st["o"], k2,
+                                     jnp.float32(1.0))
+        return ms
+
+    kh = {"k": key}
+    sync(chunk_once())                               # compile + warmup
+    fused_rates = []
+    for w in range(WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(CHUNK_DISPATCHES):
+            ms = chunk_once()
+        sync(ms)
+        fused_rates.append(BATCH * CHUNK * CHUNK_DISPATCHES
+                           / (time.perf_counter() - t0))
+
+    fused_median = statistics.median(fused_rates)
+    step_median = statistics.median(step_rates)
     dev = jax.devices()[0]
     peak = _peak_for(dev)
     out = {
-        "median": median,
-        "best": max(rates),
-        "windows": [round(r, 1) for r in rates],
+        "fused_median": fused_median,
+        "fused_best": max(fused_rates),
+        "fused_windows": [round(r, 1) for r in fused_rates],
+        "step_median": step_median,
+        "step_best": max(step_rates),
+        "step_windows": [round(r, 1) for r in step_rates],
         "flops_per_utt": (flops_per_step / BATCH
                           if flops_per_step else None),
         "device": getattr(dev, "device_kind", str(dev)),
     }
     if flops_per_step and peak:
-        # achieved FLOP/s = steps/s * flops/step; steps/s = median / BATCH
-        out["mfu"] = round((median / BATCH) * flops_per_step / peak, 4)
+        # achieved FLOP/s on the bare model step
+        out["mfu"] = round((step_median / BATCH) * flops_per_step / peak, 4)
         out["peak_flops_assumed"] = peak
     else:
         out["mfu"] = None
@@ -202,13 +256,14 @@ def measure_reference() -> float | None:
             loss.backward()
             opt.step()
 
-        one_step()                                   # warmup
-        n = 2
+        for _ in range(2):                           # warmup discard
+            one_step()
+        n = 20
         t0 = time.perf_counter()
         for _ in range(n):
             one_step()
         dt = time.perf_counter() - t0
-        return B * n / dt
+        return B * n / dt, device
     except Exception as e:                           # pragma: no cover
         print(f"[bench] reference measurement failed: {e}", file=sys.stderr)
         return None
@@ -225,33 +280,44 @@ def main():
 
     ours = measure_ours(trace_dir=args.trace)
 
-    baseline = None
+    baseline = baseline_dev = None
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            baseline = json.load(f).get("reference_utterances_per_sec")
+            cached = json.load(f)
+        baseline = cached.get("reference_utterances_per_sec")
+        baseline_dev = cached.get("baseline_device")
     if baseline is None:
-        baseline = measure_reference()
-        if baseline is not None:
+        ref = measure_reference()
+        if ref is not None:
+            baseline, baseline_dev = ref
             with open(BASELINE_CACHE, "w") as f:
                 json.dump({
                     "reference_utterances_per_sec": baseline,
+                    "baseline_device": baseline_dev,
                     "note": "PyTorch reference train step (fwd+bwd+Adam), "
-                            "batch 64, measured on this host's torch device",
+                            "batch 64, 20 steps after 2-step warmup, on "
+                            "this host's torch device (CPU-only image: "
+                            "cross-device comparison, flagged via "
+                            "baseline_device)",
                 }, f, indent=2)
 
-    vs = (ours["median"] / baseline) if baseline else None
+    vs = (ours["fused_median"] / baseline) if baseline else None
     print(json.dumps({
-        "metric": "active_train_utterances_per_sec",
-        "value": round(ours["median"], 2),
+        "metric": "fused_train_pipeline_utterances_per_sec",
+        "value": round(ours["fused_median"], 2),
         "unit": "utt/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-        "best": round(ours["best"], 2),
-        "windows": ours["windows"],
+        "best": round(ours["fused_best"], 2),
+        "windows": ours["fused_windows"],
+        "model_step_utt_s": round(ours["step_median"], 2),
+        "model_step_windows": ours["step_windows"],
         "flops_per_utt": (round(ours["flops_per_utt"])
                           if ours["flops_per_utt"] else None),
         "mfu": ours["mfu"],
         "device": ours["device"],
+        "baseline_device": baseline_dev,
         "batch": BATCH,
+        "sync": "device_get",
     }))
 
 

@@ -83,6 +83,7 @@ def load_run_config(path: str) -> RunConfig:
         fmin=float(cfg.get("FMIN", 50.0)),
         fmax=cfg.get("FMAX", None),
         latent_dim=int(cfg.get("LATENT_DIM", 100)),
+        fb_w_dtype=str(cfg.get("FB_W_DTYPE", "float32")).lower(),
     )
     hyper = TrainHyper(
         lr_fb=float(cfg["LR_FB"]),
@@ -240,7 +241,7 @@ def settings_dict(rc: RunConfig, run_id: str, exp_name: str) -> dict:
         GEOMETRY=dict(FS=m.fs, TIMESTEPS=m.timesteps, N_FFT=m.n_fft,
                       N_BANDS=m.n_bands, FMIN=m.fmin, FMAX=m.fmax,
                       HOP_RATIO=m.hop_ratio, LATENT_DIM=m.latent_dim,
-                      D_MODEL=m.d_model),
+                      D_MODEL=m.d_model, FB_W_DTYPE=m.fb_w_dtype),
     )
 
 
@@ -293,6 +294,7 @@ def config_from_settings(s: dict) -> tuple[BiEARConfig, TrainHyper, dict]:
         hop_ratio=float(g.get("HOP_RATIO", 1.0)),
         latent_dim=int(g.get("LATENT_DIM", 100)),
         d_model=int(g.get("D_MODEL", 128)),
+        fb_w_dtype=str(g.get("FB_W_DTYPE", "float32")).lower(),
     )
     hyper = TrainHyper(
         loss_w_sound=float(s.get("LOSS_WEIGHT_SOUND", 0.2)),

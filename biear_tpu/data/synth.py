@@ -69,8 +69,28 @@ def select_segments(pool, seg_idx, qoff, fs: int):
                       preferred_element_type=jnp.float32).reshape(MS, fs)
 
 
+def add_diffuse_noise(key, y, snr_range):
+    """Mix spatially-diffuse (ear-uncorrelated) Gaussian noise into a
+    binaural batch at a per-sample SNR ~ U[lo, hi] dB, then re-normalise
+    the joint peak (absolute level must not become a detection cue).
+
+    y (B, 2, fs); snr_range (lo_db, hi_db). The reference's corpus has no
+    noise floor (generate_anechoic_data.py mixes clean TIMIT); this is the
+    optional task-hardening lever for the non-saturating protocol."""
+    lo, hi = snr_range
+    B = y.shape[0]
+    k_snr, k_n = jax.random.split(key)
+    snr_db = jax.random.uniform(k_snr, (B, 1, 1), minval=lo, maxval=hi)
+    sig_rms = jnp.sqrt(jnp.mean(y * y, axis=(1, 2), keepdims=True) + 1e-12)
+    noise = jax.random.normal(k_n, y.shape, y.dtype)
+    y = y + noise * sig_rms * 10.0 ** (-snr_db / 20.0)
+    peak = jnp.maximum(jnp.max(jnp.abs(y), axis=(1, 2), keepdims=True), 1e-8)
+    return y / peak
+
+
 def assemble_batch(one_fn, bank, key, batch_size: int, n_src_fixed: int,
-                   fs: int, num_lags: int, out_sharding=None):
+                   fs: int, num_lags: int, out_sharding=None,
+                   noise_snr_db=None):
     """THE batch-assembly pipeline shared by every synthesizer and both
     dispatch shapes (the per-batch jit and the fused train chunk): vmap the
     per-sample scene over split keys, derive the CC feature, optionally
@@ -78,6 +98,13 @@ def assemble_batch(one_fn, bank, key, batch_size: int, n_src_fixed: int,
     batch_fn bit-identical for the same key."""
     keys = jax.random.split(key, batch_size)
     wavL, wavR, y, _ = jax.vmap(lambda k: one_fn(bank, k, n_src_fixed))(keys)
+    if noise_snr_db is not None:
+        # fold_in(2**20) is disjoint from the split() stream above, so the
+        # clean-path batches are bit-identical with noise off
+        yn = add_diffuse_noise(jax.random.fold_in(key, 2**20),
+                               jnp.stack([wavL, wavR], axis=1),
+                               noise_snr_db)
+        wavL, wavR = yn[:, 0], yn[:, 1]
     x3 = cross_correlation_feature(wavL, wavR, fs, num_lags=num_lags)
     out = (wavL, wavR, x3, y)
     if out_sharding is not None:
@@ -97,7 +124,10 @@ class AnechoicSynthesizer:
 
     def __init__(self, ir, az_deg, dist_m, segments, fs: int = 16000,
                  max_sources: int = 3, n_sectors: int = N_SECTORS,
-                 num_lags: int = 100):
+                 num_lags: int = 100, noise_snr_db=None):
+        self.noise_snr_db = (None if noise_snr_db is None
+                             else (float(noise_snr_db[0]),
+                                   float(noise_snr_db[1])))
         ir = np.asarray(ir, np.float32)
         az = np.asarray(az_deg, np.float64) % 360.0
         dist = np.asarray(dist_m, np.float64)
@@ -386,6 +416,9 @@ class AnechoicSynthesizer:
             key, batch_size, n_src_fixed)
         y_lr = self._mix_fast(bank, active, meas, seg_idx, qoff, crop,
                               batch_size)
+        if self.noise_snr_db is not None:
+            y_lr = add_diffuse_noise(jax.random.fold_in(key, 2**20),
+                                     y_lr, self.noise_snr_db)
         wavL, wavR = y_lr[:, 0], y_lr[:, 1]
         x3 = cross_correlation_feature(wavL, wavR, self.fs,
                                        num_lags=self.num_lags)
@@ -411,7 +444,7 @@ class AnechoicSynthesizer:
                                        out_sharding)
         return assemble_batch(self._one, bank, key, batch_size,
                               n_src_fixed, self.fs, self.num_lags,
-                              out_sharding)
+                              out_sharding, noise_snr_db=self.noise_snr_db)
 
     def set_output_sharding(self, sharding) -> None:
         """Emit batches already laid out for the training mesh (batch axis

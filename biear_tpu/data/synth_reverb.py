@@ -93,7 +93,10 @@ class ReverbSynthesizer:
 
     def __init__(self, ir, head_yaw, speaker_xy, segments, fs: int = 16000,
                  max_sources: int = 3, other_policy: str = "clamp",
-                 num_lags: int = 100):
+                 num_lags: int = 100, noise_snr_db=None):
+        self.noise_snr_db = (None if noise_snr_db is None
+                             else (float(noise_snr_db[0]),
+                                   float(noise_snr_db[1])))
         ir = np.asarray(ir, np.float32)
         M, R, E, L = ir.shape
         assert R == 2
@@ -272,7 +275,8 @@ class ReverbSynthesizer:
     def _batch(self, bank, key, batch_size: int, n_src_fixed: int,
                out_sharding=None):
         return assemble_batch(self._one, bank, key, batch_size, n_src_fixed,
-                              self.fs, self.num_lags, out_sharding)
+                              self.fs, self.num_lags, out_sharding,
+                              noise_snr_db=self.noise_snr_db)
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def _batch_meta(self, bank, key, batch_size: int, n_src_fixed: int):
@@ -301,7 +305,8 @@ class ReverbSynthesizer:
         return functools.partial(assemble_batch, self._one,
                                  batch_size=batch_size, n_src_fixed=nsf,
                                  fs=self.fs, num_lags=self.num_lags,
-                                 out_sharding=self._out_sharding)
+                                 out_sharding=self._out_sharding,
+                                 noise_snr_db=self.noise_snr_db)
 
     def sample_batch_meta(self, key, batch_size: int,
                           n_src: int | None = None):

@@ -58,6 +58,13 @@ class BiEARConfig:
     # 4x larger batches per chip.
     remat_frontend: bool = True
 
+    # W-contraction operand dtype for the adaptive filterbank hot op
+    # (ops/filterbank.filterbank_apply): "float32" = HIGHEST-precision
+    # float32 parity surface; "bfloat16" halves the HBM-bound W passes
+    # (~2.5x on the frontend, measured) with DEFAULT-matmul-precision
+    # numerics. Config key FB_W_DTYPE.
+    fb_w_dtype: str = "float32"
+
     # AuralNet baseline
     d_model: int = 128
     attn_heads: int = 4

@@ -36,6 +36,11 @@ from ..ops.erb import erb_spaced_fc_and_q, make_deltaQ_profile
 from ..ops.framing import frame_params, frame_1s, hann_window_periodic
 from ..ops.filterbank import filterbank_apply, band_phase, fixed_filterbank_matrix
 from .config import BiEARConfig
+
+
+def _wdt(cfg: BiEARConfig):
+    """cfg.fb_w_dtype -> filterbank_apply w_dtype (None = f32 parity)."""
+    return jnp.bfloat16 if cfg.fb_w_dtype == "bfloat16" else None
 from . import layers as L
 
 
@@ -166,7 +171,7 @@ def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
         xmag, xre, xim, key = xs
 
         Y, Zre, Zim = filterbank_apply(Q, c["fc"], c["f_fft"],
-                                       xmag, xre, xim)
+                                       xmag, xre, xim, w_dtype=_wdt(cfg))
         phase = band_phase(Zre, Zim)
         out = (Y, Q, phase)
 
@@ -291,9 +296,9 @@ def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
         xmL, xrL, xiL, xmR, xrR, xiR, key = xs
 
         YL, ZreL, ZimL = filterbank_apply(Q, c["fc"], c["f_fft"],
-                                          xmL, xrL, xiL)
+                                          xmL, xrL, xiL, w_dtype=_wdt(cfg))
         YR, ZreR, ZimR = filterbank_apply(Q, c["fc"], c["f_fft"],
-                                          xmR, xrR, xiR)
+                                          xmR, xrR, xiR, w_dtype=_wdt(cfg))
         out = (YL, YR, Q, band_phase(ZreL, ZimL), band_phase(ZreR, ZimR))
 
         if cfg.freeze_q:

@@ -292,3 +292,50 @@ def test_fast_mix_matches_numpy_conv_oracle():
         peak = max(np.abs(mix).max(), 1e-8)
         want[b] = mix / peak
     np.testing.assert_allclose(y, want, atol=2e-5)
+
+
+# ---------- diffuse-noise task hardening (round-3 protocol lever) ----------
+
+def test_diffuse_noise_snr_and_label_invariance():
+    """noise_snr_db mixes ear-uncorrelated noise at the drawn SNR and
+    renormalises the peak; labels and the RNG stream of the clean path
+    are untouched (the noise key is fold_in(2**20), disjoint from the
+    scene split stream)."""
+    ir, az, dist = make_test_hrir_bank()
+    segs = make_test_segments(8)
+    clean = AnechoicSynthesizer(ir, az, dist, segs)
+    noisy = AnechoicSynthesizer(ir, az, dist, segs, noise_snr_db=(10.0, 12.0))
+    key = jax.random.PRNGKey(7)
+    bc = clean.sample_batch(key, 16)
+    bn = noisy.sample_batch(key, 16)
+    # labels bit-identical; waveforms differ; peak renormalised to <= 1
+    assert np.allclose(np.asarray(bc[3]), np.asarray(bn[3]))
+    assert not np.allclose(np.asarray(bc[0]), np.asarray(bn[0]))
+    assert float(jnp.max(jnp.abs(bn[0]))) <= 1.0 + 1e-6
+    # SNR sanity: the injected noise power matches the drawn SNR within
+    # tolerance. Reconstruct noise as (noisy*scale - clean) per sample by
+    # matching peaks: instead check aggregate noise floor is in range.
+    from biear_tpu.data.synth import add_diffuse_noise
+    y = jnp.stack([bc[0], bc[1]], axis=1)
+    yn = add_diffuse_noise(jax.random.PRNGKey(3), y, (20.0, 20.0))
+    # undo the peak renormalisation to compare against the clean signal
+    resid = yn * jnp.max(jnp.abs(y + (yn * 0)), axis=(1, 2), keepdims=True)
+    # reconstruct: yn = (y + n)/peak2 -> n_hat = yn*peak2 - y; estimate
+    # peak2 via lstsq scale between yn and y on the high-energy samples
+    num = jnp.sum(yn * y, axis=(1, 2)); den = jnp.sum(yn * yn, axis=(1, 2))
+    scale = (num / den)[:, None, None]
+    n_hat = yn * scale - y
+    snr_est = 10 * jnp.log10(jnp.sum(y * y, axis=(1, 2))
+                             / jnp.sum(n_hat * n_hat, axis=(1, 2)))
+    assert float(jnp.min(snr_est)) > 16.0 and float(jnp.max(snr_est)) < 24.0
+
+
+def test_speech_pool_distinct_and_normalised():
+    from biear_tpu.data.speech import make_speech_pool
+    p1 = make_speech_pool(6, seed=1)
+    p2 = make_speech_pool(6, seed=2)
+    assert p1.shape == (6, 16000) and p1.dtype == np.float32
+    assert np.all(np.abs(p1).max(axis=1) > 0.99)      # peak-normalised
+    assert not np.allclose(p1, p2)                    # seed-namespaced
+    # segments within a pool are distinct utterances
+    assert not np.allclose(p1[0], p1[1])

@@ -151,3 +151,86 @@ def test_batch_iterator_host_sharding_covers_all_rows():
             assert rows.shape[0] == 4 and w.shape == (4,)
             seen.extend(rows[w > 0.5, 0].astype(int).tolist())
     assert sorted(seen) == list(range(21))
+
+
+# ---------- production dispatch shapes on the mesh (round-3 VERDICT #4) ----------
+
+def _synth_and_cfg():
+    from biear_tpu.data.synth import (AnechoicSynthesizer,
+                                      make_test_hrir_bank,
+                                      make_test_segments)
+    cfg = BiEARConfig(fs=1600, timesteps=4, n_fft=256, n_bands=16,
+                      fmin=50.0, fmax=700.0, latent_dim=16,
+                      controller_mode="dual", deltaQ_mode="relative")
+    ir, az, dist = make_test_hrir_bank(m_per_sector=2, ir_len=64, fs=1600)
+    segs = make_test_segments(n=4, seg_len=3200)
+    synth = AnechoicSynthesizer(ir, az, dist, segs, fs=1600, num_lags=16)
+    return cfg, synth
+
+
+def test_train_chunk_matches_on_mesh():
+    """make_train_chunk — the dispatch shape production actually runs
+    (fused synthesize->train lax.scan) — must produce the same params and
+    per-step losses under data=4 x model=2 sharding as on one device.
+    The synthesizer emits mesh-sharded batches via set_output_sharding,
+    exactly as train/runner.py wires it."""
+    from biear_tpu.train.loop import make_train_chunk
+    from biear_tpu.train import make_optimizer
+
+    cfg, synth = _synth_and_cfg()
+    hp = TrainHyper()
+    params0 = init_active(jax.random.PRNGKey(0), cfg)
+    B, CH = 8, 2
+    rng = jax.random.PRNGKey(7)
+
+    def run(mesh):
+        params = jax.tree.map(jnp.copy, params0)
+        if mesh is not None:
+            params = shard_params(params, mesh)
+            synth.set_output_sharding(batch_sharding(mesh))
+        else:
+            synth.set_output_sharding(None)
+        opt = make_optimizer(params, hp)
+        opt_state = opt.init(params)
+        chunk = make_train_chunk(cfg, hp, opt, "active",
+                                 synth.batch_fn(B), CH)
+        p, o, ms = chunk(synth.bank, params, opt_state, rng,
+                         jnp.float32(1.0))
+        return p, np.asarray(ms["loss"])
+
+    try:
+        p_base, l_base = run(None)
+        p_mesh, l_mesh = run(make_mesh(4, 2))
+    finally:
+        synth.set_output_sharding(None)
+    np.testing.assert_allclose(l_mesh, l_base, rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_mesh), jax.tree.leaves(p_base)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_eval_chunk_matches_on_mesh():
+    """make_eval_chunk (stacked same-shape eval batches in one scanned
+    dispatch) under data+model sharding == single-device."""
+    from biear_tpu.train.loop import make_eval_chunk
+
+    cfg, synth = _synth_and_cfg()
+    hp = TrainHyper()
+    params0 = init_active(jax.random.PRNGKey(0), cfg)
+    B, NB = 8, 3
+    batches = [synth.sample_batch(jax.random.PRNGKey(100 + i), B)
+               for i in range(NB)]
+    stacked = tuple(jnp.stack([b[j] for b in batches]) for j in range(4))
+
+    ev = make_eval_chunk(cfg, hp, "active")
+    base = ev(params0, stacked)
+
+    mesh = make_mesh(4, 2)
+    params_m = shard_params(jax.tree.map(jnp.copy, params0), mesh)
+    bsh = NamedSharding(mesh, P(None, "data"))   # batch axis is dim 1 here
+    stacked_m = tuple(jax.device_put(np.asarray(x), bsh) for x in stacked)
+    ev_m = make_eval_chunk(cfg, hp, "active")
+    got = ev_m(params_m, stacked_m)
+    np.testing.assert_allclose(np.asarray(got["loss"]),
+                               np.asarray(base["loss"]),
+                               rtol=2e-4, atol=1e-6)

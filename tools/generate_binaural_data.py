@@ -190,7 +190,7 @@ def write_split(synth, out_dir, name, num: int, seed: int,
 
 
 def build_synthesizer(scene: str, sofa: str | None, segments, fs: int,
-                      num_lags: int = 100):
+                      num_lags: int = 100, noise_snr_db=None):
     """Scene -> synthesizer, with scene-correct speaker geometry and the
     reference's 4-tier head-yaw extraction for room BRIRs.
 
@@ -208,7 +208,8 @@ def build_synthesizer(scene: str, sofa: str | None, segments, fs: int,
         else:
             ir, az, dist = make_test_hrir_bank()
         return AnechoicSynthesizer(ir, az, dist, segments, fs=fs,
-                                   num_lags=num_lags)
+                                   num_lags=num_lags,
+                                   noise_snr_db=noise_snr_db)
 
     if sofa:
         from tools.sofa_io import load_sofa_brir, extract_head_yaw
@@ -220,7 +221,7 @@ def build_synthesizer(scene: str, sofa: str | None, segments, fs: int,
         sxy = scene_speaker_xy(scene, 3 if scene == "spirit" else 6)
         ir, yaw, sxy = make_test_brir_bank(speaker_xy=sxy)
     return ReverbSynthesizer(ir, yaw, sxy, segments, fs=fs,
-                             num_lags=num_lags)
+                             num_lags=num_lags, noise_snr_db=noise_snr_db)
 
 
 def main():

@@ -111,6 +111,15 @@ def main():
                     help="override FIXED_FRONTEND_Q: true (ablation)")
     ap.add_argument("--pool-size", type=int, default=256,
                     help="synthetic speech segments per pool")
+    ap.add_argument("--corpus", default="noise",
+                    choices=("noise", "speech"),
+                    help="segment pool: 'noise' = modulated noise (round-2 "
+                         "protocol; saturates), 'speech' = source-filter "
+                         "speech-like corpus (data/speech.py) with disjoint "
+                         "speaker sets per pool")
+    ap.add_argument("--noise-snr", default=None,
+                    help="mix diffuse noise at SNR ~ U[lo,hi] dB, e.g. "
+                         "'5,25' (task-hardening; default off)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--runs-root", default=None)
     ap.add_argument("--comments", default=None)
@@ -145,22 +154,44 @@ def main():
     rc.raw["SYNTH_EVAL_SAMPLES"] = args.eval_size
 
     # Pool A = "TIMIT TRAIN" stand-in (train/val/test1); pool B = unseen
-    # speakers ("TIMIT TEST", generate_anechoic_data.py:22-27).
-    pool_a = make_test_segments(args.pool_size, seed=args.seed + 1)
-    pool_b = make_test_segments(args.pool_size, seed=args.seed + 9999)
+    # speakers ("TIMIT TEST", generate_anechoic_data.py:22-27). The speech
+    # corpus seeds namespace speaker sets too, so pool B is a true
+    # new-speakers split.
+    if args.corpus == "speech":
+        from biear_tpu.data.speech import make_speech_pool
+        import time as _time
+        t0 = _time.time()
+        # seg_len = fs + 7*128: per-use random window offsets (the
+        # reference's generate_anechoic_data.py:91-108 richness) while
+        # keeping the synthesizer's fast window-gather path (n_q <= 8)
+        seg_len = rc.model_cfg.fs + 7 * 128
+        pool_a = make_speech_pool(args.pool_size, seg_len=seg_len,
+                                  fs=rc.model_cfg.fs, seed=args.seed + 1)
+        pool_b = make_speech_pool(args.pool_size, seg_len=seg_len,
+                                  fs=rc.model_cfg.fs, seed=args.seed + 9999)
+        print(f"[protocol] speech pools built: 2 x {args.pool_size} segs "
+              f"in {_time.time()-t0:.0f}s")
+    else:
+        pool_a = make_test_segments(args.pool_size, seed=args.seed + 1)
+        pool_b = make_test_segments(args.pool_size, seed=args.seed + 9999)
+    snr = (tuple(float(x) for x in args.noise_snr.split(","))
+           if args.noise_snr else None)
     synth_a = build_synthesizer(args.scene, None, pool_a, rc.model_cfg.fs,
-                                num_lags=rc.model_cfg.n_bands)
+                                num_lags=rc.model_cfg.n_bands,
+                                noise_snr_db=snr)
 
     print(f"[protocol] {args.train_size} train x {rc.epochs} epochs, "
           f"bs={rc.batch_size}, eval={args.eval_size}, scene={args.scene}, "
-          f"fixed_q={rc.fixed_frontend_q}, ctrl={rc.controller_mode}")
+          f"fixed_q={rc.fixed_frontend_q}, ctrl={rc.controller_mode}, "
+          f"corpus={args.corpus}(x{args.pool_size}), noise_snr={snr}")
     out = train(rc, synth=synth_a, seed=args.seed)
     run_dir = out["run_dir"]
     params = out["params"]
 
     # test1 = pool A, fresh seed; test2 = UNSEEN pool B. Both 1/3-1/3-1/3.
     synth_b = build_synthesizer(args.scene, None, pool_b, rc.model_cfg.fs,
-                                num_lags=rc.model_cfg.n_bands)
+                                num_lags=rc.model_cfg.n_bands,
+                                noise_snr_db=snr)
     for name, synth, seed_off in (("test1", synth_a, 777),
                                   ("test2", synth_b, 888)):
         ds = SynthEvalDataset(synth, args.eval_size, args.seed + seed_off,
