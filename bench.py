@@ -74,7 +74,8 @@ def _peak_for(device) -> float | None:
     return None
 
 
-def measure_ours(trace_dir: str | None = None) -> dict:
+def measure_ours(trace_dir: str | None = None,
+                 fb_w_dtype: str = "bfloat16") -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -87,9 +88,14 @@ def measure_ours(trace_dir: str | None = None) -> dict:
                                       make_test_hrir_bank,
                                       make_test_segments)
 
+    # fb_w_dtype="bfloat16" is the production policy: numerically the
+    # DEFAULT TPU matmul precision (operands bf16-rounded either way; the
+    # round-2 protocol ran the same numerics class) at ~3.6x lower cost on
+    # the HBM-bound W contraction (ops/filterbank.py). "float32" is the
+    # HIGHEST-precision parity surface (--f32-parity).
     cfg = BiEARConfig(controller_mode="dual", deltaQ_mode="relative",
                       deltaQ_base=1.0, deltaQ_low_factor=0.3,
-                      deltaQ_high_factor=5.0)
+                      deltaQ_high_factor=5.0, fb_w_dtype=fb_w_dtype)
     hp = TrainHyper()
     params = init_active(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer(params, hp)
@@ -166,7 +172,10 @@ def measure_ours(trace_dir: str | None = None) -> dict:
                                 num_lags=cfg.n_bands)
     chunk = make_train_chunk(cfg, hp, opt, "active", synth.batch_fn(BATCH),
                              CHUNK)
-    st = {"p": params, "o": opt_state}
+    # fresh state: the bare-step phase DONATED params/opt_state (its jit
+    # buffers), so the originals are deleted by now
+    params2 = init_active(jax.random.PRNGKey(0), cfg)
+    st = {"p": params2, "o": opt.init(params2)}
 
     def chunk_once():
         key2, k2 = jax.random.split(kh["k"])
@@ -276,9 +285,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="dump a jax.profiler trace of one window")
+    ap.add_argument("--f32-parity", action="store_true",
+                    help="measure the float32/HIGHEST parity surface "
+                         "instead of the production bf16-W policy")
     args = ap.parse_args()
 
-    ours = measure_ours(trace_dir=args.trace)
+    fb_w = "float32" if args.f32_parity else "bfloat16"
+    ours = measure_ours(trace_dir=args.trace, fb_w_dtype=fb_w)
 
     baseline = baseline_dev = None
     if os.path.exists(BASELINE_CACHE):
@@ -317,6 +330,7 @@ def main():
         "device": ours["device"],
         "baseline_device": baseline_dev,
         "batch": BATCH,
+        "fb_w_dtype": fb_w,
         "sync": "device_get",
     }))
 

@@ -251,3 +251,29 @@ def test_stft_against_independent_frame_loop(rng):
     for k in (0, 1, t - 1):
         want = np.fft.rfft(wav[k * hop:k * hop + n_fft] * wpad)
         np.testing.assert_allclose(S[:, k], want, atol=1e-3)
+
+
+def test_thirdparty_goldens_if_present():
+    """Pin against REAL librosa/gammatone outputs when the fixture exists.
+
+    tools/make_thirdparty_goldens.py generates it on any machine with
+    librosa + gammatone installed (neither is installable in this
+    zero-egress image); until then this test documents the procedure and
+    skips."""
+    import os
+    p = os.path.join(os.path.dirname(__file__), "goldens",
+                     "thirdparty_features.npz")
+    if not os.path.exists(p):
+        pytest.skip("third-party goldens not generated "
+                    "(tools/make_thirdparty_goldens.py)")
+    g = np.load(p)
+    n_fft, hop, win = _stft_params(len(g["wav"]), 19)
+    assert (n_fft, hop, win) == (int(g["n_fft"]), int(g["hop"]),
+                                 int(g["win"]))
+    S = stft_center_false(g["wav"], n_fft, hop, win)
+    np.testing.assert_allclose(S.real, g["stft_re"], atol=2e-3)
+    np.testing.assert_allclose(S.imag, g["stft_im"], atol=2e-3)
+    feat = compute_gammatone_feature(g["wav"], 16000,
+                                     data_dim=int(g["data_dim"]),
+                                     timesteps=int(g["gt_timesteps"]))
+    np.testing.assert_allclose(feat, g["gtgram_db"].T, atol=0.1)

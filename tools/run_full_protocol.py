@@ -120,6 +120,12 @@ def main():
     ap.add_argument("--noise-snr", default=None,
                     help="mix diffuse noise at SNR ~ U[lo,hi] dB, e.g. "
                          "'5,25' (task-hardening; default off)")
+    ap.add_argument("--fb-w-dtype", default=None,
+                    choices=("float32", "bfloat16"),
+                    help="filterbank W contraction dtype (FB_W_DTYPE): "
+                         "bfloat16 = DEFAULT-matmul-precision numerics at "
+                         "~3.6x lower hot-op cost (ops/filterbank.py), "
+                         "float32 = HIGHEST-precision parity surface")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--runs-root", default=None)
     ap.add_argument("--comments", default=None)
@@ -139,12 +145,16 @@ def main():
         rc.epochs = args.epochs
     if args.batch_size is not None:
         rc.batch_size = args.batch_size
+    import dataclasses
     if args.fixed_q:
-        import dataclasses
         rc.fixed_frontend_q = True
         # BiEARConfig is frozen (hashable for the constants lru_cache)
         rc.model_cfg = dataclasses.replace(rc.model_cfg,
                                            fixed_frontend_q=True)
+    if args.fb_w_dtype:
+        rc.model_cfg = dataclasses.replace(rc.model_cfg,
+                                           fb_w_dtype=args.fb_w_dtype)
+        rc.raw["FB_W_DTYPE"] = args.fb_w_dtype
     if args.runs_root:
         rc.runs_root = args.runs_root
     if args.comments is not None:

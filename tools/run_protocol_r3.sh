@@ -16,7 +16,7 @@ mkdir -p "$ROOT"
 POOL=2000
 SNR="5,25"
 COMMON=(--corpus speech --pool-size $POOL --noise-snr "$SNR"
-        --runs-root "$ROOT")
+        --fb-w-dtype bfloat16 --runs-root "$ROOT")
 
 run() {
   echo "=== $(date -u +%H:%M:%S) START: $*" >> "$LOG"
