@@ -40,6 +40,8 @@ round-2 ladder conclusion with ground-truth timing.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -64,7 +66,7 @@ def gaussian_filterbank(Q, fc, f_fft, *, eps_q: float = 1e-8, eps_bw: float = 1e
     return jnp.nan_to_num(W, nan=0.0, posinf=0.0, neginf=0.0)
 
 
-def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None):
+def filterbank_apply_ref(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None):
     """Fused build-and-apply of the Gaussian filterbank for one frame.
 
     Q:              (B, N)   per-sample Q vectors
@@ -110,6 +112,117 @@ def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None):
     Y = jnp.nan_to_num(out[..., 0] / den,
                        nan=0.0, posinf=0.0, neginf=0.0)
     return Y, out[..., 1] / den, out[..., 2] / den
+
+
+# ---------------- custom-VJP wrapper (the production entry point) -----------
+#
+# jax.grad of the einsum above computes dL/dG = gout @ rhs^T — a (B, N, F)
+# cotangent that XLA materialises through HBM every frame (~0.5 ms at
+# batch 1024, the single largest op in the round-3 trace: fusion "bwd dQ",
+# 30 % of the step — docs/mfu_attribution.md). Both parameter gradients
+# can instead be written as contractions of fwd-sized SHAPE:
+#
+#   dL/dQ_bn   = -fc_n/(Q+eps)^2 / bw_bn * sum_c g4_bnc T_bnc,
+#                T = einsum("bnf,bfc->bnc", G*z^2, rhs)      (F contracted)
+#   dL/drhs_bfc =  einsum("bnf,bnc->bfc", G, g4)             (N contracted)
+#
+# so the (B, N, F) cotangent never exists — G is (re)built inside each
+# contraction exactly like the forward. g4 maps the division's cotangents
+# back to the pre-division numerators: g4[..., :3] = gout/den,
+# g4[..., 3] = dL/dden = -sum_c gout_c out_c / den.
+
+def _fb_eps():
+    return 1e-8, 1e-8, 1e-8       # eps_q, eps_bw, eps_norm
+
+
+def _fb_gauss(Q, fc, f_fft):
+    eps_q, eps_bw, _ = _fb_eps()
+    bw = (fc / (Q + eps_q))[..., None] + eps_bw          # (B, N, 1)
+    z = (f_fft[None, :] - fc[:, None]) / bw              # (B, N, F)
+    return bw, z, jnp.exp(-0.5 * z * z)
+
+
+def _fb_dot(lhs, rhs, bf16: bool, sub: str):
+    if bf16:
+        lhs, rhs = lhs.astype(jnp.bfloat16), rhs.astype(jnp.bfloat16)
+        prec = jax.lax.Precision.DEFAULT
+    else:
+        prec = jax.lax.Precision.HIGHEST
+    return jnp.einsum(sub, lhs, rhs, precision=prec,
+                      preferred_element_type=jnp.float32)
+
+
+def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None):
+    """filterbank_apply_ref semantics with a traffic-minimal custom VJP.
+
+    Forward math is filterbank_apply_ref verbatim (same eps placement,
+    same operand dtypes/precision — tested to bit equality); only the
+    gradient computation differs, by the algebra above (tested against
+    jax.grad of the reference to float32 tolerance).
+
+    BIEAR_FB_VJP=autodiff falls back to plain jax.grad of the reference
+    body (the round-2 behaviour) — the escape hatch until/unless the
+    custom bwd is measured faster on hardware."""
+    import os
+    if os.environ.get("BIEAR_FB_VJP", "custom") == "autodiff":
+        return filterbank_apply_ref(Q, fc, f_fft, Xmag, Xre, Xim,
+                                    w_dtype=w_dtype)
+    # custom_vjp takes positional args only; w_dtype rides as a static str
+    return _fb_apply(Q, fc, f_fft, Xmag, Xre, Xim,
+                     "bf16" if _fb_is_bf16(w_dtype) else "f32")
+
+
+def _fb_is_bf16(w_dtype) -> bool:
+    return w_dtype is not None and jnp.dtype(w_dtype) == jnp.bfloat16
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fb_apply(Q, fc, f_fft, Xmag, Xre, Xim, mode):
+    return _fb_fwd(Q, fc, f_fft, Xmag, Xre, Xim, mode)[0]
+
+
+def _fb_fwd(Q, fc, f_fft, Xmag, Xre, Xim, mode):
+    bf16 = mode == "bf16"
+    _, _, eps_norm = _fb_eps()
+    _, _, G = _fb_gauss(Q, fc, f_fft)
+    ones = jnp.ones_like(Xmag[..., :1])
+    rhs = jnp.stack([Xmag, Xre, Xim,
+                     jnp.broadcast_to(ones, Xmag.shape)], axis=-1)
+    out = _fb_dot(G, rhs, bf16, "bnf,bfc->bnc")          # (B, N, 4)
+    den = out[..., 3] + eps_norm
+    Y_raw = out[..., 0] / den
+    Y = jnp.nan_to_num(Y_raw, nan=0.0, posinf=0.0, neginf=0.0)
+    Zre, Zim = out[..., 1] / den, out[..., 2] / den
+    res = (Q, fc, f_fft, Xmag, Xre, Xim, Y, Zre, Zim, den,
+           jnp.isfinite(Y_raw))
+    return (Y, Zre, Zim), res
+
+
+def _fb_bwd(mode, res, g):
+    bf16 = mode == "bf16"
+    eps_q, _, _ = _fb_eps()
+    Q, fc, f_fft, Xmag, Xre, Xim, Y, Zre, Zim, den, finite = res
+    gY, gZre, gZim = g
+    # nan_to_num passes zero cotangent at the positions it zeroed
+    gY = jnp.where(finite, gY, 0.0)
+    gden = -(gY * Y + gZre * Zre + gZim * Zim) / den
+    g4 = jnp.stack([gY / den, gZre / den, gZim / den, gden], axis=-1)
+
+    bw, z, G = _fb_gauss(Q, fc, f_fft)
+    ones = jnp.ones_like(Xmag[..., :1])
+    rhs = jnp.stack([Xmag, Xre, Xim,
+                     jnp.broadcast_to(ones, Xmag.shape)], axis=-1)
+
+    T = _fb_dot(G * (z * z), rhs, bf16, "bnf,bfc->bnc")  # (B, N, 4)
+    dQ = (-fc / jnp.square(Q + eps_q) / bw[..., 0]
+          * jnp.sum(g4 * T, axis=-1))
+
+    H = _fb_dot(G, g4, bf16, "bnf,bnc->bfc")             # (B, F, 4)
+    return (dQ, jnp.zeros_like(fc), jnp.zeros_like(f_fft),
+            H[..., 0], H[..., 1], H[..., 2])
+
+
+_fb_apply.defvjp(_fb_fwd, _fb_bwd)
 
 
 def band_phase(Zre, Zim, eps_mag: float = 1e-3):

@@ -148,6 +148,60 @@ def test_filterbank_apply_fuses_mag_and_complex(rng):
                                atol=2e-4)
 
 
+def test_filterbank_apply_custom_vjp_parity(rng):
+    """The custom VJP (traffic-minimal bwd, ops/filterbank.py) must match
+    jax.grad of the plain-autodiff reference implementation in BOTH
+    precision modes, fwd bit-exactly and grads to float32 tolerance."""
+    import jax
+    from biear_tpu.ops.filterbank import filterbank_apply_ref
+
+    fc, Q0 = np_erb_spaced_fc_and_q(100, 50.0, 7200.0)
+    f_fft = np.linspace(0, 8000.0, 513)
+    Q = (Q0[None] * rng.uniform(0.7, 1.4, (3, 100))).astype(np.float32)
+    X = (rng.standard_normal((3, 513)) + 1j * rng.standard_normal((3, 513)))
+    args = (jnp.asarray(Q), jnp.asarray(fc, jnp.float32),
+            jnp.asarray(f_fft, jnp.float32),
+            jnp.asarray(np.abs(X), jnp.float32),
+            jnp.asarray(X.real, jnp.float32),
+            jnp.asarray(X.imag, jnp.float32))
+    co = (jnp.asarray(rng.standard_normal((3, 100)), jnp.float32),
+          jnp.asarray(rng.standard_normal((3, 100)), jnp.float32),
+          jnp.asarray(rng.standard_normal((3, 100)), jnp.float32))
+
+    def scalarize(fn, wd):
+        # differentiate w.r.t. Q and the three spectra (1, 3, 4, 5)
+        def f(q, xm, xr, xi):
+            Y, Zre, Zim = fn(q, args[1], args[2], xm, xr, xi, w_dtype=wd)
+            return jnp.sum(Y * co[0] + Zre * co[1] + Zim * co[2])
+        return f
+
+    for wd, rtol in ((None, 5e-5), (jnp.bfloat16, 2e-2)):
+        outs = filterbank_apply(*args, w_dtype=wd)
+        refs = filterbank_apply_ref(*args, w_dtype=wd)
+        for o, r in zip(outs, refs):
+            np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
+        g = jax.grad(scalarize(filterbank_apply, wd), argnums=(0, 1, 2, 3))(
+            args[0], args[3], args[4], args[5])
+        gr = jax.grad(scalarize(filterbank_apply_ref, wd),
+                      argnums=(0, 1, 2, 3))(
+            args[0], args[3], args[4], args[5])
+        for a, b in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=rtol, atol=rtol * 1e-1)
+
+    # composes with vmap (the dual frontend maps over the ear axis) and
+    # with jax.checkpoint (frontend remat wraps the scan step)
+    def ear_loss(q2, xm2, xr2, xi2):
+        f = jax.checkpoint(lambda q, xm, xr, xi: jnp.sum(
+            filterbank_apply(q, args[1], args[2], xm, xr, xi)[0]))
+        return jnp.sum(jax.vmap(f)(q2, xm2, xr2, xi2))
+
+    q2 = jnp.stack([args[0], args[0] * 1.1])
+    xm2, xr2, xi2 = (jnp.stack([a, a]) for a in args[3:6])
+    gv = jax.grad(ear_loss)(q2, xm2, xr2, xi2)
+    assert np.isfinite(np.asarray(gv)).all()
+
+
 def test_fixed_filterbank_matrix_clips_q():
     fc, Q0 = erb_spaced_fc_and_q(100, 50.0, 7200.0)
     f_fft = jnp.linspace(0.0, 8000.0, 513)
