@@ -41,6 +41,7 @@ round-2 ladder conclusion with ground-truth timing.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -163,7 +164,6 @@ def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None):
     BIEAR_FB_VJP=autodiff falls back to plain jax.grad of the reference
     body (the round-2 behaviour) — the escape hatch until/unless the
     custom bwd is measured faster on hardware."""
-    import os
     if os.environ.get("BIEAR_FB_VJP", "custom") == "autodiff":
         return filterbank_apply_ref(Q, fc, f_fft, Xmag, Xre, Xim,
                                     w_dtype=w_dtype)
