@@ -161,10 +161,11 @@ def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None):
     gradient computation differs, by the algebra above (tested against
     jax.grad of the reference to float32 tolerance).
 
-    BIEAR_FB_VJP=autodiff falls back to plain jax.grad of the reference
-    body (the round-2 behaviour) — the escape hatch until/unless the
-    custom bwd is measured faster on hardware."""
-    if os.environ.get("BIEAR_FB_VJP", "custom") == "autodiff":
+    Default = plain jax.grad of the reference body: the first fleet run
+    that picked the custom bwd up ran ~3-4x slower at batch 64 (XLA's
+    scan-body scheduling beats the hand bwd there); BIEAR_FB_VJP=custom
+    opts in, pending the batch-1024 measurement."""
+    if os.environ.get("BIEAR_FB_VJP", "autodiff") == "autodiff":
         return filterbank_apply_ref(Q, fc, f_fft, Xmag, Xre, Xim,
                                     w_dtype=w_dtype)
     # custom_vjp takes positional args only; w_dtype rides as a static str

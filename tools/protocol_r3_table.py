@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Build the round-3 protocol results table from docs/protocol_r3/.
+
+Prints a markdown table (test2 = unseen-speaker pool) plus the
+adaptive-vs-fixed-Q ablation gap with its 2-seed spread — the
+"gap exceeds run-to-run noise" evidence VERDICT r2 item 2 asked for.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+ORDER = ("flagship-s0", "flagship-s1", "fixedq-s0", "fixedq-s1",
+         "singlectrl-s0", "auralnet-s0", "auditorium-s0", "spirit-s0")
+
+
+def load(root="docs/protocol_r3"):
+    out = {}
+    for d in glob.glob(os.path.join(root, "*")):
+        p = os.path.join(d, "evaluate_biear_metrics_test2.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                out[os.path.basename(d)] = json.load(f)["overall"]
+    return out
+
+
+def main():
+    m = load()
+    print("| config (seed) | test2 sound_acc | test2 masked AoA "
+          "| test2 dist_acc |")
+    print("|---|---|---|---|")
+    for k in ORDER:
+        if k not in m:
+            continue
+        o = m[k]
+        print(f"| {k} | {o['sound_acc']*100:.2f} % "
+              f"| {o['aoa_mae_deg_masked']:.2f}° "
+              f"| {o['dist_acc']*100:.2f} % |")
+    extra = sorted(set(m) - set(ORDER))
+    for k in extra:
+        o = m[k]
+        print(f"| {k} | {o['sound_acc']*100:.2f} % "
+              f"| {o['aoa_mae_deg_masked']:.2f}° "
+              f"| {o['dist_acc']*100:.2f} % |")
+
+    pairs = [(m.get(f"flagship-s{s}"), m.get(f"fixedq-s{s}"))
+             for s in (0, 1)]
+    pairs = [(a, b) for a, b in pairs if a and b]
+    if len(pairs) == 2:
+        gaps = {k: [a[k] - b[k] for a, b in pairs]
+                for k in ("sound_acc", "dist_acc")}
+        gaps["aoa_deg"] = [b["aoa_mae_deg_masked"] - a["aoa_mae_deg_masked"]
+                           for a, b in pairs]
+        seed_noise = {
+            "sound_acc": abs(m["flagship-s0"]["sound_acc"]
+                             - m["flagship-s1"]["sound_acc"]),
+            "dist_acc": abs(m["flagship-s0"]["dist_acc"]
+                            - m["flagship-s1"]["dist_acc"]),
+            "aoa_deg": abs(m["flagship-s0"]["aoa_mae_deg_masked"]
+                           - m["flagship-s1"]["aoa_mae_deg_masked"]),
+        }
+        print("\nadaptive-vs-fixed-Q gap (per seed) vs flagship seed spread:")
+        for k, g in gaps.items():
+            print(f"  {k}: gaps {['%.4f' % x for x in g]}, "
+                  f"flagship seed spread {seed_noise[k]:.4f}")
+
+
+if __name__ == "__main__":
+    main()
