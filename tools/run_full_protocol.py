@@ -129,6 +129,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--runs-root", default=None)
     ap.add_argument("--comments", default=None)
+    ap.add_argument("--resume", default=None, metavar="RUN_DIR",
+                    help="continue an interrupted run from its "
+                         "checkpoints/last (params + optimizer state + "
+                         "epoch), then run the test1/test2 stages")
     args = ap.parse_args()
 
     from biear_tpu.utils.platform import honor_platform_env
@@ -194,7 +198,8 @@ def main():
           f"bs={rc.batch_size}, eval={args.eval_size}, scene={args.scene}, "
           f"fixed_q={rc.fixed_frontend_q}, ctrl={rc.controller_mode}, "
           f"corpus={args.corpus}(x{args.pool_size}), noise_snr={snr}")
-    out = train(rc, synth=synth_a, seed=args.seed)
+    out = train(rc, synth=synth_a, seed=args.seed,
+                resume_from=args.resume)
     run_dir = out["run_dir"]
     params = out["params"]
 

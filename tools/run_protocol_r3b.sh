@@ -19,7 +19,11 @@ run() {
 }
 
 run --config conf/config.yaml --fixed-q        --seed 1 --comments r3-fixedq-s1     "${COMMON[@]}"
-run --config conf/config.yaml                  --seed 1 --comments r3-flagship-s1   "${COMMON[@]}"
+# flagship-s1 wedged at epoch ~42 with checkpoints intact: resume it
+FS1=$(ls -d "$ROOT"/*r3-flagship-s1* 2>/dev/null | head -1)
+if [ -n "$FS1" ] && [ ! -f "$FS1/evaluate_biear_metrics_test2.json" ]; then
+  run --config conf/config.yaml                --seed 1 --comments r3-flagship-s1   --resume "$FS1" "${COMMON[@]}"
+fi
 run --config conf/config_single_ctrl.yaml      --seed 0 --comments r3-singlectrl    "${COMMON[@]}"
 run --config conf/config_auralnet_deepear.yaml --seed 0 --comments r3-auralnet      "${COMMON[@]}"
 run --config conf/config.yaml --scene auditorium --seed 0 --comments r3-auditorium  "${COMMON[@]}"
