@@ -60,6 +60,17 @@ class RunConfig:
     raw: dict = dataclasses.field(default_factory=dict)
 
 
+def _fb_w_dtype(v) -> str:
+    """Validate FB_W_DTYPE eagerly: the frontend string-compares against
+    'bfloat16' only, so a typo ('bf16') would silently run the ~3.6x
+    slower float32/HIGHEST hot op while the run claims the bf16 policy."""
+    s = str(v).lower()
+    if s not in ("float32", "bfloat16"):
+        raise ValueError(f"FB_W_DTYPE must be 'float32' or 'bfloat16', "
+                         f"got {v!r}")
+    return s
+
+
 def load_run_config(path: str) -> RunConfig:
     with open(path, "r") as f:
         cfg = yaml.safe_load(f)
@@ -83,7 +94,7 @@ def load_run_config(path: str) -> RunConfig:
         fmin=float(cfg.get("FMIN", 50.0)),
         fmax=cfg.get("FMAX", None),
         latent_dim=int(cfg.get("LATENT_DIM", 100)),
-        fb_w_dtype=str(cfg.get("FB_W_DTYPE", "float32")).lower(),
+        fb_w_dtype=_fb_w_dtype(cfg.get("FB_W_DTYPE", "float32")),
     )
     hyper = TrainHyper(
         lr_fb=float(cfg["LR_FB"]),
@@ -294,7 +305,7 @@ def config_from_settings(s: dict) -> tuple[BiEARConfig, TrainHyper, dict]:
         hop_ratio=float(g.get("HOP_RATIO", 1.0)),
         latent_dim=int(g.get("LATENT_DIM", 100)),
         d_model=int(g.get("D_MODEL", 128)),
-        fb_w_dtype=str(g.get("FB_W_DTYPE", "float32")).lower(),
+        fb_w_dtype=_fb_w_dtype(g.get("FB_W_DTYPE", "float32")),
     )
     hyper = TrainHyper(
         loss_w_sound=float(s.get("LOSS_WEIGHT_SOUND", 0.2)),

@@ -468,6 +468,13 @@ class AnechoicSynthesizer:
         keys = jax.random.split(key, batch_size)
         wavL, wavR, y, meta = jax.vmap(
             lambda k: self._one(bank, k, n_src_fixed))(keys)
+        if self.noise_snr_db is not None:
+            # same fold_in stream as assemble_batch so meta batches match
+            # sample_batch bit-for-bit at the same key
+            yn = add_diffuse_noise(jax.random.fold_in(key, 2**20),
+                                   jnp.stack([wavL, wavR], axis=1),
+                                   self.noise_snr_db)
+            wavL, wavR = yn[:, 0], yn[:, 1]
         x3 = cross_correlation_feature(wavL, wavR, self.fs,
                                        num_lags=self.num_lags)
         return wavL, wavR, x3, y, meta

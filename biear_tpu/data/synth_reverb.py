@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from ..ops.xcorr import cross_correlation_feature
 from .labels import DIST_CLASSES, N_SECTORS, N_DIST_CLASSES
-from .synth import _next_pow2, assemble_batch, select_segments
+from .synth import (_next_pow2, add_diffuse_noise, assemble_batch,
+                    select_segments)
 
 
 def dist_class_5(dist_m: float, other_thresh: float = 3.0) -> int:
@@ -283,6 +284,13 @@ class ReverbSynthesizer:
         keys = jax.random.split(key, batch_size)
         wavL, wavR, y, meta = jax.vmap(
             lambda k: self._one(bank, k, n_src_fixed))(keys)
+        if self.noise_snr_db is not None:
+            # same fold_in stream as assemble_batch so meta batches match
+            # sample_batch bit-for-bit at the same key
+            yn = add_diffuse_noise(jax.random.fold_in(key, 2**20),
+                                   jnp.stack([wavL, wavR], axis=1),
+                                   self.noise_snr_db)
+            wavL, wavR = yn[:, 0], yn[:, 1]
         x3 = cross_correlation_feature(wavL, wavR, self.fs,
                                        num_lags=self.num_lags)
         return wavL, wavR, x3, y, meta

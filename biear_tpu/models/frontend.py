@@ -205,11 +205,25 @@ def fixed_forward(cfg: BiEARConfig, Xmag, Xre, Xim):
     pass; W is the one precomputed clamped-Q0 matrix."""
     c = frontend_constants(cfg)
     W = c["W_fixed"]                                     # (N, F)
-    hp = jax.lax.Precision.HIGHEST
-    Y = jnp.einsum("btf,nf->btn", Xmag, W, precision=hp)
+    # Honor the same FB_W_DTYPE policy as the adaptive filterbank_apply:
+    # ablations (adaptive vs fixed-Q) must not confound adaptivity with a
+    # filterbank-numerics difference between the two arms.
+    if _wdt(cfg) is not None:
+        # both operands bf16 at DEFAULT precision, f32 accumulate — the
+        # exact policy of filterbank_apply_ref's bf16 branch
+        W = W.astype(jnp.bfloat16)
+        Xmag, Xre, Xim = (x.astype(jnp.bfloat16) for x in (Xmag, Xre, Xim))
+        hp = jax.lax.Precision.DEFAULT
+    else:
+        hp = jax.lax.Precision.HIGHEST
+    pet = jnp.float32
+    Y = jnp.einsum("btf,nf->btn", Xmag, W, precision=hp,
+                   preferred_element_type=pet)
     Y = jnp.nan_to_num(Y, nan=0.0, posinf=0.0, neginf=0.0)
-    Zre = jnp.einsum("btf,nf->btn", Xre, W, precision=hp)
-    Zim = jnp.einsum("btf,nf->btn", Xim, W, precision=hp)
+    Zre = jnp.einsum("btf,nf->btn", Xre, W, precision=hp,
+                     preferred_element_type=pet)
+    Zim = jnp.einsum("btf,nf->btn", Xim, W, precision=hp,
+                     preferred_element_type=pet)
     phase = band_phase(Zre, Zim)
     B, T = Xmag.shape[:2]
     Qc = jnp.clip(c["Q0"], cfg.q_min, cfg.q_max)

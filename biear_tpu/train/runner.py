@@ -336,6 +336,19 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
         if meta:
             start_epoch = int(meta.get("epoch", 0)) + 1
             lr_scale = float(meta.get("lr_scale", 1.0))
+            if "global_step" in meta:
+                global_step = int(meta["global_step"])
+            else:
+                # pre-global_step checkpoint: derive so resumed telemetry
+                # continues the step axis instead of re-logging from 0
+                if synth is not None and rc.synth_on_device:
+                    spe = max_steps_per_epoch or int(
+                        rc.raw.get("SYNTH_STEPS_PER_EPOCH", 128))
+                else:
+                    spe = -(-len(datasets["train"]) // rc.batch_size)
+                    if max_steps_per_epoch is not None:
+                        spe = min(spe, max_steps_per_epoch)
+                global_step = (start_epoch - 1) * spe
             if meta.get("best_tuple"):
                 best_tuple = tuple(meta["best_tuple"])
             s = meta.get("sched")
@@ -536,7 +549,7 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
         # rolling crash-resume point (+ history so far)
         ckpt.save_checkpoint(
             os.path.join(dirs["checkpoints"], "last"), params, opt_state,
-            {"epoch": e, "lr_scale": lr_scale,
+            {"epoch": e, "lr_scale": lr_scale, "global_step": global_step,
              "best_tuple": list(best_tuple) if best_tuple else None,
              "sched": {"best": sched.best, "num_bad": sched.num_bad,
                        "scale": sched.scale}})
@@ -546,6 +559,7 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
     ckpt.save_checkpoint(
         os.path.join(dirs["checkpoints"], "last"), params, opt_state,
         {"epoch": rc.epochs, "lr_scale": lr_scale,
+         "global_step": global_step,
          "best_tuple": list(best_tuple) if best_tuple else None,
          "sched": {"best": sched.best, "num_bad": sched.num_bad,
                    "scale": sched.scale}})

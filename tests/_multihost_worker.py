@@ -67,7 +67,6 @@ def main():
         total += float(global_mean(garr)) * bs_global
         count += bs_global
     got = total / count
-    want = float(np.mean(ds.vals[:count // nproc * nproc or n]))
     # the permuted union over both hosts of full batches is the first
     # `count` rows of the permutation; recompute exactly:
     perm = np.random.default_rng(7 + 0).permutation(n)

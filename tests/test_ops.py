@@ -153,7 +153,15 @@ def test_filterbank_apply_custom_vjp_parity(rng):
     jax.grad of the plain-autodiff reference implementation in BOTH
     precision modes, fwd bit-exactly and grads to float32 tolerance."""
     import jax
-    from biear_tpu.ops.filterbank import filterbank_apply_ref
+    from biear_tpu.ops.filterbank import (_fb_apply, _fb_is_bf16,
+                                          filterbank_apply_ref)
+
+    # Call _fb_apply directly: filterbank_apply dispatches on BIEAR_FB_VJP
+    # (default 'autodiff' -> the ref body), which would make this test
+    # compare the reference with itself.
+    def fb_custom(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None):
+        return _fb_apply(Q, fc, f_fft, Xmag, Xre, Xim,
+                         "bf16" if _fb_is_bf16(w_dtype) else "f32")
 
     fc, Q0 = np_erb_spaced_fc_and_q(100, 50.0, 7200.0)
     f_fft = np.linspace(0, 8000.0, 513)
@@ -176,11 +184,11 @@ def test_filterbank_apply_custom_vjp_parity(rng):
         return f
 
     for wd, rtol in ((None, 5e-5), (jnp.bfloat16, 2e-2)):
-        outs = filterbank_apply(*args, w_dtype=wd)
+        outs = fb_custom(*args, w_dtype=wd)
         refs = filterbank_apply_ref(*args, w_dtype=wd)
         for o, r in zip(outs, refs):
             np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
-        g = jax.grad(scalarize(filterbank_apply, wd), argnums=(0, 1, 2, 3))(
+        g = jax.grad(scalarize(fb_custom, wd), argnums=(0, 1, 2, 3))(
             args[0], args[3], args[4], args[5])
         gr = jax.grad(scalarize(filterbank_apply_ref, wd),
                       argnums=(0, 1, 2, 3))(
@@ -193,7 +201,7 @@ def test_filterbank_apply_custom_vjp_parity(rng):
     # with jax.checkpoint (frontend remat wraps the scan step)
     def ear_loss(q2, xm2, xr2, xi2):
         f = jax.checkpoint(lambda q, xm, xr, xi: jnp.sum(
-            filterbank_apply(q, args[1], args[2], xm, xr, xi)[0]))
+            fb_custom(q, args[1], args[2], xm, xr, xi)[0]))
         return jnp.sum(jax.vmap(f)(q2, xm2, xr2, xi2))
 
     q2 = jnp.stack([args[0], args[0] * 1.1])

@@ -171,6 +171,14 @@ def test_resume_continues_training(tmp_path, rng):
     with open(os.path.join(run_dir, "logs_json", "history.json")) as f:
         h = json.load(f)
     assert len(h["train"]) == 4          # 2 original + 2 resumed
+    # telemetry step axis continues across the resume (checkpoint meta
+    # carries global_step; a reset to 0 would fold the resumed epochs
+    # onto the original step grid)
+    _, _, meta = ckpt_mod.load_checkpoint(
+        os.path.join(run_dir, "checkpoints", "last"),
+        out2["params"])
+    spe = -(-len(ds["train"]) // rc.batch_size)
+    assert int(meta["global_step"]) == 4 * spe
 
 
 def test_evaluate_reference_pth_checkpoint(tmp_path, rng):

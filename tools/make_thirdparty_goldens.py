@@ -58,11 +58,18 @@ def main() -> int:
     n_fft = 1024
     S = librosa.stft(wav.astype(np.float64), n_fft=n_fft, hop_length=hop,
                      win_length=hop, center=False)
-    # utils.py:128-141 gtgram: 50 x data_dim, 20 ms windows, no overlap
+    # utils.py:119-142 gtgram semantics: win_time = hop_time =
+    # 1/timesteps (no overlap), f_min 50 Hz, ABSOLUTE dB
+    # 20*log10(gt + 1e-8), then pad/truncate to exactly `timesteps`
+    # frames — matching biear_tpu.ops.features.compute_gammatone_feature.
     data_dim, gt_timesteps = 32, 50
-    hop_t = (len(wav) / fs) / gt_timesteps
-    g = gt.gtgram(wav.astype(np.float64), fs, hop_t, hop_t, data_dim, 50)
-    g_db = librosa.amplitude_to_db(g, ref=np.max)
+    win_t = 1.0 / gt_timesteps
+    g = gt.gtgram(wav.astype(np.float64), fs, win_t, win_t, data_dim, 50.0)
+    g_db = 20.0 * np.log10(g + 1e-8)
+    if g_db.shape[1] < gt_timesteps:
+        g_db = np.pad(g_db, ((0, 0), (0, gt_timesteps - g_db.shape[1])))
+    else:
+        g_db = g_db[:, :gt_timesteps]
 
     np.savez(OUT, wav=wav, stft_re=S.real.astype(np.float64),
              stft_im=S.imag.astype(np.float64),
