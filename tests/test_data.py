@@ -330,6 +330,21 @@ def test_diffuse_noise_snr_and_label_invariance():
     assert float(jnp.min(snr_est)) > 16.0 and float(jnp.max(snr_est)) < 24.0
 
 
+def test_meta_batch_matches_batch_with_noise():
+    """sample_batch_meta (offline-writer path) must produce the SAME
+    waveforms/features/labels as sample_batch at the same key when
+    diffuse noise is enabled — the noise is drawn from the identical
+    fold_in(2**20) stream on both paths."""
+    ir, az, dist = make_test_hrir_bank()
+    segs = make_test_segments(8)
+    syn = AnechoicSynthesizer(ir, az, dist, segs, noise_snr_db=(5.0, 25.0))
+    key = jax.random.PRNGKey(11)
+    b = syn.sample_batch(key, 6, n_src=2)
+    m = syn.sample_batch_meta(key, 6, n_src=2)
+    for got, want in zip(m[:4], b[:4]):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_speech_pool_distinct_and_normalised():
     from biear_tpu.data.speech import make_speech_pool
     p1 = make_speech_pool(6, seed=1)

@@ -242,3 +242,30 @@ def test_cc_feature_peak_at_expected_lag(rng):
     lag_grid = np.linspace(-3e-3, 3e-3, 100)
     assert abs(lag_grid[np.argmax(cc)] - (-1e-3)) < 1.2e-4 or \
            abs(lag_grid[np.argmax(cc)] - 1e-3) < 1.2e-4
+
+
+def test_fixed_forward_honors_fb_w_dtype(rng):
+    """The fixed-Q frontend applies the SAME FB_W_DTYPE policy as the
+    adaptive filterbank (bf16 operands, DEFAULT precision, f32
+    accumulate) so adaptive-vs-fixed ablations don't confound adaptivity
+    with a frontend-numerics difference between arms."""
+    import dataclasses
+    from biear_tpu.config import BiEARConfig
+    from biear_tpu.models.frontend import fixed_forward
+
+    cfg32 = BiEARConfig(fs=1600, timesteps=4, n_fft=256, n_bands=24,
+                        fmin=50.0, fmax=700.0, latent_dim=24)
+    cfg16 = dataclasses.replace(cfg32, fb_w_dtype="bfloat16")
+    B, T, F = 2, 4, cfg32.n_fft // 2 + 1
+    Xm = jnp.asarray(np.abs(rng.standard_normal((B, T, F))), jnp.float32)
+    Xr = jnp.asarray(rng.standard_normal((B, T, F)), jnp.float32)
+    Xi = jnp.asarray(rng.standard_normal((B, T, F)), jnp.float32)
+    o32 = fixed_forward(cfg32, Xm, Xr, Xi)
+    o16 = fixed_forward(cfg16, Xm, Xr, Xi)
+    for a, b in zip(o32[:2], o16[:2]):
+        assert a.dtype == jnp.float32 and b.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(a)))
+        assert np.all(np.isfinite(np.asarray(b)))
+    rel = float(jnp.max(jnp.abs(o32[0] - o16[0])
+                        / (jnp.abs(o32[0]) + 1e-6)))
+    assert 0.0 < rel < 5e-2     # bf16 rounding: visible, bounded

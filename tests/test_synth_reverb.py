@@ -94,3 +94,16 @@ def test_reverb_deterministic(rsynth):
     b = rsynth.sample_batch(jax.random.PRNGKey(5), 4)
     for x, z in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
+
+
+def test_reverb_meta_batch_matches_batch_with_noise():
+    """Reverb sample_batch_meta parity with sample_batch under diffuse
+    noise (same fold_in(2**20) stream on both dispatch paths)."""
+    ir, yaw, sxy = make_test_brir_bank()
+    s = ReverbSynthesizer(ir, yaw, sxy, make_test_segments(8),
+                          noise_snr_db=(5.0, 25.0))
+    key = jax.random.PRNGKey(13)
+    b = s.sample_batch(key, 4, n_src=2)
+    m = s.sample_batch_meta(key, 4, n_src=2)
+    for got, want in zip(m[:4], b[:4]):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

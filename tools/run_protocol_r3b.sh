@@ -28,4 +28,8 @@ run --config conf/config_single_ctrl.yaml      --seed 0 --comments r3-singlectrl
 run --config conf/config_auralnet_deepear.yaml --seed 0 --comments r3-auralnet      "${COMMON[@]}"
 run --config conf/config.yaml --scene auditorium --seed 0 --comments r3-auditorium  "${COMMON[@]}"
 run --config conf/config_spirit.yaml --scene spirit --seed 0 --comments r3-spirit   "${COMMON[@]}"
+# fixedq-s0 re-run: the original ran before fixed_forward honored
+# FB_W_DTYPE (f32-HIGHEST frontend); re-run under the bf16-W policy so
+# both fixed-Q seeds share numerics with the adaptive arms.
+run --config conf/config.yaml --fixed-q        --seed 0 --comments r3-fixedq-rerun  "${COMMON[@]}"
 echo "=== $(date -u +%H:%M:%S) FLEET-B DONE" >> "$LOG"
