@@ -96,6 +96,7 @@ def _copy(tree):
     return jax.tree.map(jnp.copy, tree)
 
 
+@pytest.mark.slow
 def test_padded_gradients_match_unpadded(rng, tiny):
     """One train_step on (tail rows padded to full + weights) must produce
     the same parameters as one step on the bare tail rows."""
@@ -120,6 +121,7 @@ def test_padded_gradients_match_unpadded(rng, tiny):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_single_compilation_for_reference_scale_split(rng, tiny):
     """The reference protocol's val split is 9,000 rows at bs=64 — a 40-row
     tail. With pad_to_full the jitted train AND eval steps must compile
@@ -145,6 +147,7 @@ def test_single_compilation_for_reference_scale_split(rng, tiny):
     assert eval_step._cache_size() == 1
 
 
+@pytest.mark.slow
 def test_runner_single_compilation_end_to_end(tmp_path, rng):
     """Runner-level check: training over an indivisible split compiles the
     step functions once (monitored via jax's lowering counter)."""

@@ -56,6 +56,7 @@ def test_grad_hist_names_align_and_cap(tiny):
     assert h.shape[0] == 7                        # MAX_PARAM_LOG consumed
 
 
+@pytest.mark.slow
 def test_train_step_emits_grad_hist(tiny, rng):
     cfg, params = tiny
     hp = TrainHyper()
@@ -74,6 +75,7 @@ def test_train_step_emits_grad_hist(tiny, rng):
     assert (h >= 0).all()
 
 
+@pytest.mark.slow
 def test_runner_logs_histograms(tmp_path, rng):
     """End-to-end: HIST_EVERY=1 training writes 'kind: hist' JSONL records
     whose key count equals min(n_leaves, MAX_PARAM_LOG)."""

@@ -144,6 +144,7 @@ def _copy(tree):
     return jax.tree.map(jnp.copy, tree)
 
 
+@pytest.mark.slow
 def test_train_step_learns(rng, tiny_setup):
     cfg, params, hp, opt = tiny_setup
     params = _copy(params)
@@ -162,6 +163,7 @@ def test_train_step_learns(rng, tiny_setup):
     assert all(np.isfinite(losses))
 
 
+@pytest.mark.slow
 def test_train_step_skips_poisoned_batch(rng, tiny_setup):
     cfg, params, hp, opt = tiny_setup
     params = _copy(params)
@@ -186,6 +188,7 @@ def test_eval_step_deterministic(rng, tiny_setup):
     assert float(m1["loss"]) == float(m2["loss"])
 
 
+@pytest.mark.slow
 def test_train_chunk_matches_per_step_path():
     """One fused lax.scan chunk == the same steps dispatched one by one
     with the same key schedule (params, opt state, and per-step metrics)."""
