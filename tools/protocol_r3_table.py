@@ -12,8 +12,8 @@ import glob
 import json
 import os
 
-ORDER = ("flagship-s0", "flagship-s1", "fixedq-s0", "fixedq-s1",
-         "singlectrl-s0", "auralnet-s0", "auditorium-s0", "spirit-s0")
+ORDER = ("flagship-s0", "flagship-s1", "fixedq-s0", "fixedq-s0b",
+         "fixedq-s1", "singlectrl", "auralnet", "auditorium", "spirit")
 
 
 def load(root="docs/protocol_r3"):
@@ -45,8 +45,11 @@ def main():
               f"| {o['aoa_mae_deg_masked']:.2f}° "
               f"| {o['dist_acc']*100:.2f} % |")
 
-    pairs = [(m.get(f"flagship-s{s}"), m.get(f"fixedq-s{s}"))
-             for s in (0, 1)]
+    # seed-0 fixed-Q arm: prefer the bf16-W-policy re-run (fixedq-s0b),
+    # which matches the adaptive arms' frontend numerics.
+    fixedq_s0 = m.get("fixedq-s0b") or m.get("fixedq-s0")
+    pairs = [(m.get("flagship-s0"), fixedq_s0),
+             (m.get("flagship-s1"), m.get("fixedq-s1"))]
     pairs = [(a, b) for a, b in pairs if a and b]
     if len(pairs) == 2:
         gaps = {k: [a[k] - b[k] for a, b in pairs]
