@@ -1,0 +1,94 @@
+"""Unit tests for the Pallas sample-granular window gather
+(biear_tpu/ops/window_gather.py) — the hottest data-movement op of the
+fused pipeline. The kernel itself runs here in Pallas interpret mode
+(numerics identical to the TPU lowering's semantics); the XLA fallback
+and a numpy oracle pin the contract:
+
+    out[x].reshape(16384)[t] == pool3[rows[x]].reshape(-1)[offs[x] + t]
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from biear_tpu.ops.window_gather import (
+    WIN_BLOCKS,
+    _gather_windows_pallas,
+    _gather_windows_xla,
+    gather_windows,
+    pad_pool_for_windows,
+)
+
+WIN = WIN_BLOCKS * 128
+
+
+def _setup(seed, np_rows=3, t=17000, left_pad=383, max_off=1200):
+    rng = np.random.default_rng(seed)
+    pool = rng.standard_normal((np_rows, t)).astype(np.float32)
+    pool3 = pad_pool_for_windows(pool, left_pad, max_off)
+    return pool, pool3, left_pad, max_off
+
+
+def _oracle(pool3, rows, offs):
+    flat = np.asarray(pool3).reshape(pool3.shape[0], -1)
+    return np.stack([flat[r, o:o + WIN] for r, o in zip(rows, offs)])
+
+
+@pytest.mark.parametrize("offs", [
+    [0, 128, 1200],              # block-aligned + max_off
+    [1, 127, 129, 640 + 37],     # sub-block offsets crossing boundaries
+])
+def test_pallas_interpret_matches_oracle(offs):
+    pool, pool3, left_pad, max_off = _setup(0)
+    offs = np.asarray(offs[:pool.shape[0] + 1][:3], dtype=np.int32)
+    rows = np.arange(len(offs), dtype=np.int32) % pool.shape[0]
+    got = _gather_windows_pallas(jnp.asarray(pool3), jnp.asarray(rows),
+                                 jnp.asarray(offs), True)
+    want = _oracle(pool3, rows, offs)
+    np.testing.assert_array_equal(np.asarray(got).reshape(len(offs), WIN),
+                                  want)
+
+
+def test_xla_fallback_matches_oracle_and_padding_zeroes():
+    pool, pool3, left_pad, max_off = _setup(1)
+    rng = np.random.default_rng(2)
+    rows = rng.integers(0, pool.shape[0], size=8).astype(np.int32)
+    offs = rng.integers(0, max_off + left_pad, size=8).astype(np.int32)
+    got = np.asarray(_gather_windows_xla(jnp.asarray(pool3),
+                                         jnp.asarray(rows),
+                                         jnp.asarray(offs)))
+    np.testing.assert_array_equal(got.reshape(8, WIN),
+                                  _oracle(pool3, rows, offs))
+    # offset 0 starts inside the left zero-pad: first left_pad samples 0
+    z = np.asarray(_gather_windows_xla(jnp.asarray(pool3),
+                                       jnp.asarray([0], np.int32),
+                                       jnp.asarray([0], np.int32)))
+    assert np.all(z.reshape(-1)[:left_pad] == 0.0)
+    np.testing.assert_array_equal(z.reshape(-1)[left_pad:WIN],
+                                  pool[0, :WIN - left_pad])
+
+
+def test_kernel_and_fallback_agree():
+    pool, pool3, left_pad, max_off = _setup(3)
+    rng = np.random.default_rng(4)
+    n = 6
+    rows = rng.integers(0, pool.shape[0], size=n).astype(np.int32)
+    offs = rng.integers(0, max_off + left_pad, size=n).astype(np.int32)
+    a = np.asarray(_gather_windows_pallas(jnp.asarray(pool3),
+                                          jnp.asarray(rows),
+                                          jnp.asarray(offs), True))
+    b = np.asarray(_gather_windows_xla(jnp.asarray(pool3),
+                                       jnp.asarray(rows),
+                                       jnp.asarray(offs)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dispatch_uses_fallback_on_cpu():
+    pool, pool3, left_pad, max_off = _setup(5)
+    rows = jnp.asarray([0, 1], jnp.int32)
+    offs = jnp.asarray([3, 259], jnp.int32)
+    got = np.asarray(gather_windows(jnp.asarray(pool3), rows, offs))
+    np.testing.assert_array_equal(got.reshape(2, WIN),
+                                  _oracle(pool3, np.asarray(rows),
+                                          np.asarray(offs)))
