@@ -265,7 +265,13 @@ def compute_gammatone_mag_phase_direct(wav_1d, fs, data_dim=DATA_DIM,
                                        timesteps=TIMESTEPS, fmin=50.0,
                                        fmax=None, order=4):
     """Time-domain scipy gammatone IIR + Hilbert route (utils.py:147-231):
-    per-frame RMS dB + frame-centre phase."""
+    per-frame RMS dB + "frame-centre" phase.
+
+    Phase-index quirk reproduced for parity: the reference indexes its
+    per-frame phase SLICE with the ABSOLUTE sample index
+    ``start + frame_len//2`` and clamps to the slice end
+    (utils.py:218-221) — so frame 0 really samples the frame centre, but
+    every later frame samples the LAST point of the frame."""
     from scipy.signal import gammatone, lfilter, hilbert
 
     if fmax is None:
@@ -291,8 +297,10 @@ def compute_gammatone_mag_phase_direct(wav_1d, fs, data_dim=DATA_DIM,
             s = t * frame_len
             rms = np.sqrt(np.mean(mag[s:s + frame_len] ** 2))
             band_db[b, t] = 20.0 * np.log10(rms + 1e-12)
-            ci = min(s + frame_len // 2, total - 1)
-            band_ph[b, t] = ph[ci]
+            # absolute index into the local frame slice, clamped —
+            # frame 0 hits the centre, frames >= 1 the frame end
+            ci = min(s + frame_len // 2, frame_len - 1)
+            band_ph[b, t] = ph[s + ci]
     return band_db.T, band_ph.T
 
 

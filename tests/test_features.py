@@ -123,6 +123,47 @@ def test_direct_gammatone_route(rng):
     assert np.isfinite(m).all() and (np.abs(p) <= np.pi).all()
 
 
+def test_direct_gammatone_route_reference_oracle(rng):
+    """Numerical parity with the reference routine (utils.py:147-231),
+    re-derived independently here: scipy IIR gammatone + Hilbert, per-band
+    ERB-spaced centres clipped below Nyquist, per-frame RMS of the
+    1e-12-floored envelope in dB, and the reference's phase-index quirk
+    (absolute centre index clamped into the local slice, so frames >= 1
+    sample the frame END, utils.py:218-221)."""
+    from scipy.signal import gammatone, hilbert, lfilter
+
+    fs, data_dim, timesteps = 8000, 7, 4
+    wav = rng.standard_normal(3100).astype(np.float32)
+
+    def e(f):
+        return 21.4 * np.log10(4.37e-3 * f + 1.0)
+
+    centers = np.clip((10 ** (np.linspace(e(50.0), e(fs / 2.0), data_dim)
+                              / 21.4) - 1.0) / 4.37e-3, 1.0, fs / 2 - 1.0)
+    frame_len = len(wav) // timesteps
+    total = frame_len * timesteps
+    w = wav[:total]
+    want_m = np.zeros((data_dim, timesteps), np.float32)
+    want_p = np.zeros((data_dim, timesteps), np.float32)
+    for b, fc in enumerate(centers):
+        bc, ac = gammatone(fc, "iir", fs=fs)
+        analytic = hilbert(lfilter(bc, ac, w))
+        for t in range(timesteps):
+            s = t * frame_len
+            fm = np.maximum(np.abs(analytic[s:s + frame_len]), 1e-12)
+            want_m[b, t] = 20.0 * np.log10(np.sqrt(np.mean(fm ** 2))
+                                           + 1e-12)
+            ci = s + frame_len // 2
+            if ci >= frame_len:          # the reference's clamp into the
+                ci = frame_len - 1       # LOCAL slice (utils.py:218-221)
+            want_p[b, t] = np.angle(analytic[s:s + frame_len])[ci]
+
+    got_m, got_p = compute_gammatone_mag_phase_direct(
+        wav, fs, data_dim=data_dim, timesteps=timesteps)
+    np.testing.assert_allclose(got_m, want_m.T, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(got_p, want_p.T, rtol=0, atol=1e-6)
+
+
 def test_gtgram_equivalent_feature(rng):
     wav = rng.standard_normal(4000).astype(np.float32)
     f = compute_gammatone_feature(wav, 8000, data_dim=12, timesteps=5)
