@@ -40,9 +40,24 @@ SURFACE = "#fcfcfb"
 GRID = "#e4e3df"
 
 
+# run-comment suffix -> archived docs/protocol_r3/<label>/ dir, for
+# histories whose (gitignored) run dir no longer exists.
+ARCHIVE_LABEL = {
+    "r3-flagship": "flagship-s0",
+    "r3-fixedq": "fixedq-s0",
+    "r3-fixedq-rerun": "fixedq-s0b",
+    "r3-flagship-s1": "flagship-s1",
+    "r3-fixedq-s1": "fixedq-s1",
+}
+
+
 def find_history(suffix):
-    for d in sorted(glob.glob(os.path.join(RUNS, f"*_{suffix}"))):
-        p = os.path.join(d, "logs_json", "history.json")
+    candidates = [os.path.join(d, "logs_json", "history.json")
+                  for d in sorted(glob.glob(os.path.join(RUNS, f"*_{suffix}")))]
+    label = ARCHIVE_LABEL.get(suffix, suffix.replace("r3-", ""))
+    candidates.append(os.path.join(ROOT, "docs", "protocol_r3", label,
+                                   "history.json"))
+    for p in candidates:
         if os.path.exists(p):
             with open(p) as f:
                 return json.load(f)["val"]
