@@ -219,7 +219,8 @@ class AnechoicSynthesizer:
         # matmul replace the per-sample select/conv/crop chain: measured
         # 41.7 ms -> ~6 ms per batch-1024 synthesis on one v5e. Zero-guard
         # row expansion (segment x block-offset) keeps the reference's
-        # zero-padded conv-edge semantics bit-for-bit.
+        # zero-padded conv-edge semantics exactly (see _mix_fast's
+        # docstring for the last-ulp precision caveat).
         from ..ops.window_gather import (WIN_BLOCKS, pad_pool_for_windows)
         # qoff range from the ORIGINAL segment length (selections must stay
         # inside real content — same bound as the per-sample path)
@@ -364,11 +365,15 @@ class AnechoicSynthesizer:
         """windows -> block-Toeplitz HRIR conv -> masked source sum.
 
         out[b,e,t] = sum_s active * sum_k seg[t + c - k] ir[m, e, k] —
-        bit-for-bit the per-sample conv+crop path (zero-guard rows
-        reproduce the reference's zero-padded conv edges,
-        generate_anechoic_data.py:154-186). The contraction is ONE
-        (nf, 128+L-1) x (128+L-1, 256) matmul per (sample, source) at
-        Precision.HIGH (bf16_3x ~ f32: waveforms are training data)."""
+        ALGEBRAICALLY exact vs the per-sample conv+crop path (zero-guard
+        rows reproduce the reference's zero-padded conv edges,
+        generate_anechoic_data.py:154-186); the INDEXING is bit-for-bit,
+        the arithmetic differs in the last float32 ulps because this
+        contraction runs at Precision.HIGH (bf16_3x, ~f32-accurate —
+        NOT bf16 quantization) while the per-sample path's conv pins
+        HIGHEST (oracle: test_data.py::test_fast_mix_matches_numpy_conv_oracle).
+        The contraction is ONE (nf, 128+L-1) x (128+L-1, 256) matmul
+        per (sample, source)."""
         from ..ops.window_gather import gather_windows
         B, MS, fs, L = batch_size, self.max_sources, self.fs, self.ir_len
         X = B * MS

@@ -71,6 +71,15 @@ class BiEARConfig:
     attn_layers: int = 2
     attn_dropout: float = 0.1
 
+    def __post_init__(self):
+        # Validate here (the shared layer), not per entry point: a typo
+        # like "bf16" would otherwise silently fall through every
+        # `== "bfloat16"` check onto the ~3.6x slower float32 hot op.
+        if self.fb_w_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"fb_w_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.fb_w_dtype!r}")
+
     @property
     def fmax_eff(self) -> float:
         return self.fs / 2.0 * 0.9 if self.fmax is None else self.fmax

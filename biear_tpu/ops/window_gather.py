@@ -104,7 +104,10 @@ def gather_windows(pool3, rows, offs, *, use_kernel: bool | None = None):
 
     use_kernel: None = kernel on TPU, XLA fallback elsewhere."""
     if use_kernel is None:
-        use_kernel = jax.default_backend() not in ("cpu",)
+        # the pltpu kernel lowers only on TPU ("axon" is the tunnelled
+        # TPU platform name on this image); every other backend (cpu,
+        # gpu, ...) takes the XLA fallback
+        use_kernel = jax.default_backend() in ("tpu", "axon")
     if use_kernel:
         return _gather_windows_pallas(pool3, rows, offs, False)
     return _gather_windows_xla(pool3, rows, offs)

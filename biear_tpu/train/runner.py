@@ -67,14 +67,15 @@ class SynthEvalDataset:
     a sibling split, params, optimizer state, and the BPTT working set)
     spill to the host with a log line instead of OOMing the run."""
 
-    #: per-split HBM budget for the auto decision, in MiB
-    AUTO_BUDGET_MB = int(os.environ.get("SYNTH_EVAL_HBM_BUDGET_MB", 2048))
-
     def __init__(self, synth, n: int, seed: int, batch_size: int,
                  n_src=None, test_thirds: bool = False,
                  keep_on_device: bool | None = None):
         import jax as _jax
         import numpy as _np
+        # read per-instance, not at class definition, so drivers can set
+        # the env var after importing this module and still take effect
+        self.AUTO_BUDGET_MB = int(
+            os.environ.get("SYNTH_EVAL_HBM_BUDGET_MB", 2048))
         if keep_on_device is None:
             fs = getattr(synth, "fs", 16000)
             lags = getattr(synth, "num_lags", 100)
@@ -369,10 +370,13 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
         RNG: chunk keys derive from PRNGKey(seed + epoch) folded with the
         chunk index — the same epoch-keyed determinism contract as the
         per-step _SynthSource path, so the training stream is reproducible
-        across resumes and invariant to SYNTH_CHUNK_STEPS. (The streams of
-        the two dispatch shapes are each deterministic but not identical
-        to each other: the per-step path splits one key sequentially,
-        the fused path folds per chunk then splits inside the scan.)"""
+        across resumes AT A FIXED SYNTH_CHUNK_STEPS. It is NOT invariant
+        to the chunk setting: run_chunk's split(rng, chunk_steps) bakes
+        the split width into every per-step key, so changing
+        SYNTH_CHUNK_STEPS changes the synthesis stream (as does switching
+        dispatch shapes — the per-step path splits one key sequentially).
+        Seed-matched comparisons must therefore hold SYNTH_CHUNK_STEPS
+        fixed, as the protocol fleet does."""
         nonlocal params, opt_state, global_step
         sums = {}
         t0 = time.time()

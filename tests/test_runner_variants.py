@@ -168,3 +168,38 @@ def test_runner_synth_chunk_modes(tmp_path):
         # both dispatch shapes log on the same HIST_EVERY grid — with 4
         # steps and the default HIST_EVERY=50 that is exactly step 0
         assert steps == [0]
+
+
+def test_fb_w_dtype_validated_at_config_layer():
+    """A typo like 'bf16' must fail loudly at BiEARConfig construction
+    (it would otherwise silently fall through every == 'bfloat16' check
+    onto the float32 hot op while claiming bf16 in telemetry)."""
+    import pytest
+    from biear_tpu.models import BiEARConfig
+
+    BiEARConfig(fb_w_dtype="bfloat16")  # valid values construct fine
+    BiEARConfig(fb_w_dtype="float32")
+    with pytest.raises(ValueError, match="fb_w_dtype"):
+        BiEARConfig(fb_w_dtype="bf16")
+
+
+def test_eval_split_budget_env_read_per_instance(monkeypatch):
+    """SYNTH_EVAL_HBM_BUDGET_MB must take effect when set AFTER importing
+    the runner module (it used to be read once at class definition)."""
+    from biear_tpu.data.synth import (AnechoicSynthesizer,
+                                      make_test_hrir_bank,
+                                      make_test_segments)
+    from biear_tpu.train.runner import SynthEvalDataset
+
+    ir, az, dist = make_test_hrir_bank(m_per_sector=2, ir_len=64, fs=1600)
+    synth = AnechoicSynthesizer(ir, az, dist, make_test_segments(
+        n=4, seg_len=3200), fs=1600, num_lags=24)
+
+    monkeypatch.setenv("SYNTH_EVAL_HBM_BUDGET_MB", "0")  # force spill
+    ds = SynthEvalDataset(synth, 8, seed=0, batch_size=4)
+    assert ds.AUTO_BUDGET_MB == 0
+    assert not ds.stacked_groups          # spilled to host numpy
+    monkeypatch.setenv("SYNTH_EVAL_HBM_BUDGET_MB", "4096")
+    ds2 = SynthEvalDataset(synth, 8, seed=0, batch_size=4)
+    assert ds2.AUTO_BUDGET_MB == 4096
+    assert ds2.stacked_groups             # tiny split stays on device

@@ -35,11 +35,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,8,64")
     ap.add_argument("--reps", type=int, default=15)
-    ap.add_argument("--chain", type=int, default=32)
+    ap.add_argument("--chain", type=int, default=32,
+                    help="K >= 2: forwards per dispatch for the "
+                         "RTT-amortised device_ms estimate")
     ap.add_argument("--json", default=None, metavar="PATH",
                     help="also write the result dict to PATH")
-    ap.add_argument("--fb-w-dtype", default="bfloat16")
+    ap.add_argument("--fb-w-dtype", default="bfloat16",
+                    choices=("float32", "bfloat16"))
     args = ap.parse_args()
+    if args.chain < 2:
+        ap.error("--chain must be >= 2 (device_ms is the K-chain minus "
+                 "1-chain difference divided by K-1)")
 
     import jax
     import jax.numpy as jnp

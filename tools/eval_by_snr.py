@@ -68,7 +68,10 @@ def main():
     results: dict = {"seed": args.seed, "eval_size": args.eval_size,
                      "pool": "B (unseen speakers, seed+9999)",
                      "split_seed_offset": 888, "runs": {}}
-    pool_b = None
+
+    # load every checkpoint up front (each slice's synthesis is the
+    # expensive part — build it once and run all checkpoints over it)
+    models = []
     for d in args.run_dirs:
         sp = os.path.join(d, "meta", "settings.json")
         if not os.path.exists(sp):
@@ -78,29 +81,38 @@ def main():
         cfg, _, _ = config_from_settings(settings)
         kind = str(settings.get("MODEL_KIND", "active"))
         params = load_params(find_checkpoint(d), cfg, kind)
-        if pool_b is None:
-            seg_len = cfg.fs + 7 * 128  # matches run_full_protocol.py
-            pool_b = make_speech_pool(args.pool_size, seg_len=seg_len,
-                                      fs=cfg.fs, seed=args.seed + 9999)
         label = os.path.basename(os.path.normpath(d))
-        rows = {}
-        for snr in snrs + [None]:
-            tag = "clean" if snr is None else f"{snr:g}dB"
-            synth = build_synthesizer(
-                args.scene, None, pool_b, cfg.fs, num_lags=cfg.n_bands,
-                noise_snr_db=None if snr is None else (snr, snr))
-            ds = SynthEvalDataset(synth, args.eval_size, args.seed + 888,
-                                  int(settings.get("BATCH_SIZE", 64)),
-                                  test_thirds=True)
+        models.append((label, settings, cfg, kind, params))
+        results["runs"][label] = {}
+
+    bss = {int(s.get("BATCH_SIZE", 64)) for _, s, _, _, _ in models}
+    if len(bss) != 1:
+        raise SystemExit(f"runs disagree on BATCH_SIZE ({bss}); the "
+                         f"split would differ per run — evaluate "
+                         f"separately")
+    bs = bss.pop()
+    cfg0 = models[0][2]
+    seg_len = cfg0.fs + 7 * 128  # matches run_full_protocol.py
+    pool_b = make_speech_pool(args.pool_size, seg_len=seg_len,
+                              fs=cfg0.fs, seed=args.seed + 9999)
+
+    for snr in snrs + [None]:
+        tag = "clean" if snr is None else f"{snr:g}dB"
+        synth = build_synthesizer(
+            args.scene, None, pool_b, cfg0.fs, num_lags=cfg0.n_bands,
+            noise_snr_db=None if snr is None else (snr, snr))
+        ds = SynthEvalDataset(synth, args.eval_size, args.seed + 888,
+                              bs, test_thirds=True)
+        for label, _, cfg, kind, params in models:
             m = full_metrics(*predictions_on_device(params, cfg, ds, kind))
             o = m["overall"]
-            rows[tag] = {"sound_acc": o["sound_acc"],
-                         "aoa_mae_deg_masked": o["aoa_mae_deg_masked"],
-                         "dist_acc": o["dist_acc"]}
+            results["runs"][label][tag] = {
+                "sound_acc": o["sound_acc"],
+                "aoa_mae_deg_masked": o["aoa_mae_deg_masked"],
+                "dist_acc": o["dist_acc"]}
             print(f"[{label} @ {tag}] sound_acc={o['sound_acc']*100:.2f}% "
                   f"masked AoA={o['aoa_mae_deg_masked']:.2f} deg "
                   f"dist_acc={o['dist_acc']*100:.2f}%")
-        results["runs"][label] = rows
 
     out = args.out or "docs/protocol_r3/snr_breakdown.json"
     with open(out, "w") as f:
