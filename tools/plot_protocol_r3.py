@@ -29,6 +29,8 @@ OUT = os.path.join(ROOT, "docs", "protocol_r3", "curves.png")
 ARMS = {
     "flagship": ("adaptive-Q (dual)", "#2a78d6",
                  ["r3-flagship", "r3-flagship-s1"]),
+    "singlectrl": ("adaptive-Q (single)", "#0f8a6d",
+                   ["r3-singlectrl"]),
     "fixedq": ("fixed-Q", "#eb6834",
                ["r3-fixedq-rerun", "r3-fixedq", "r3-fixedq-s1"]),
 }
@@ -48,6 +50,7 @@ ARCHIVE_LABEL = {
     "r3-fixedq-rerun": "fixedq-s0b",
     "r3-flagship-s1": "flagship-s1",
     "r3-fixedq-s1": "fixedq-s1",
+    "r3-singlectrl": "singlectrl",
 }
 
 
@@ -74,19 +77,23 @@ def main():
     plotted = []
     for arm, (label, hue, suffixes) in ARMS.items():
         # dedupe: r3-fixedq-rerun replaces r3-fixedq if both exist
-        seen = 0
+        seeds_done = set()
+        first = True
         for sfx in suffixes:
+            seed = 1 if sfx.endswith("-s1") else 0
+            if seed in seeds_done:
+                continue  # e.g. rerun already covered seed 0
             hist = find_history(sfx)
             if hist is None:
                 continue
-            if arm == "fixedq" and sfx == "r3-fixedq" and seen:
-                continue  # rerun already covered seed 0
-            style = SEED_STYLE[min(seen, 1)]
+            seeds_done.add(seed)
+            style = SEED_STYLE[seed]
             for ax, (_, get) in zip(axes, panels):
                 ax.plot(range(1, len(hist) + 1), [get(v) for v in hist],
                         color=hue, lw=1.6, ls=style, solid_capstyle="round")
-            plotted.append((label if seen == 0 else None, hue, style, hist))
-            seen += 1
+            plotted.append((label if first else None, hue, style, seed,
+                            hist))
+            first = False
     for ax, (title, get) in zip(axes, panels):
         ax.set_facecolor(SURFACE)
         ax.set_title(title, fontsize=10, color=INK, loc="left")
@@ -99,7 +106,7 @@ def main():
             ax.spines[s].set_color(GRID)
     # direct labels at the right edge of panel 1 (sound acc), one per arm
     ends = {}
-    for label, hue, style, hist in plotted:
+    for label, hue, style, seed, hist in plotted:
         if label:
             ends[label] = (hue, len(hist), 100.0 * hist[-1]["sound_acc"])
     # nudge apart if close
@@ -112,10 +119,13 @@ def main():
                          textcoords="offset points", fontsize=8.5,
                          color=INK, va="center")
     axes[0].set_xlim(right=axes[0].get_xlim()[1] * 1.38)
+    seen_labels = {}
+    for l, h, s, seed, _ in plotted:
+        if l:
+            seen_labels[h] = l
     handles = [plt.Line2D([], [], color=h, lw=1.6, ls=s,
-                          label=f"{l or ''}{' ' if l else ''}"
-                                f"{'seed 0' if s == '-' else 'seed 1'}")
-               for l, h, s, _ in plotted]
+                          label=f"{seen_labels.get(h, '')} seed {seed}")
+               for l, h, s, seed, _ in plotted]
     leg = axes[1].legend(handles=handles, fontsize=7.5, frameon=False,
                          loc="upper right", labelcolor=MUTED)
     fig.suptitle("Round-3 protocol (speech corpus + 5–25 dB noise): "
