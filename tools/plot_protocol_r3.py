@@ -29,7 +29,7 @@ OUT = os.path.join(ROOT, "docs", "protocol_r3", "curves.png")
 ARMS = {
     "flagship": ("adaptive-Q (dual)", "#2a78d6",
                  ["r3-flagship", "r3-flagship-s1"]),
-    "singlectrl": ("adaptive-Q (single)", "#0f8a6d",
+    "singlectrl": ("adaptive-Q (single)", "#1baf7a",
                    ["r3-singlectrl"]),
     "fixedq": ("fixed-Q", "#eb6834",
                ["r3-fixedq-rerun", "r3-fixedq", "r3-fixedq-s1"]),
