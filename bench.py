@@ -9,7 +9,10 @@ Prints ONE JSON line:
 The HEADLINE metric is the production training pipeline: the fused
 on-device synthesize->train chunk (scene sampling + HRIR mixing + CC
 feature + fwd + BPTT + Adam, flagship dual-controller adaptive-Q model)
-at batch 1024 — what a user actually gets per chip-second of training.
+at batch 512 — what a user actually gets per chip-second of training.
+(Operating point measured, not guessed: tools/bench_batch_sweep.py →
+docs/batch_sweep.json; 512 runs the bare step at its saturation rate
+and the fused pipeline within 0.4 % of its batch-256 peak.)
 `model_step_utt_s` reports the bare train step on a fixed in-HBM batch
 (the round-1/2 headline) for continuity.
 
@@ -48,7 +51,7 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
-BATCH = 1024   # per-chip production operating point
+BATCH = 512    # per-chip production operating point (docs/batch_sweep.json)
 CHUNK = 16     # fused-chunk scan length (production SYNTH_CHUNK_STEPS)
 STEPS = 20     # model-step window length
 CHUNK_DISPATCHES = 3   # fused windows: 3 dispatches x CHUNK steps

@@ -71,6 +71,16 @@ def _fb_w_dtype(v) -> str:
     return s
 
 
+def _fb_vjp(v) -> str:
+    """Validate FB_VJP eagerly (see BiEARConfig.fb_vjp): 'auto' resolves
+    by the measured crossover, 'custom'/'autodiff' force an impl."""
+    s = str(v).lower()
+    if s not in ("auto", "custom", "autodiff"):
+        raise ValueError(f"FB_VJP must be 'auto', 'custom' or 'autodiff', "
+                         f"got {v!r}")
+    return s
+
+
 def load_run_config(path: str) -> RunConfig:
     with open(path, "r") as f:
         cfg = yaml.safe_load(f)
@@ -95,6 +105,7 @@ def load_run_config(path: str) -> RunConfig:
         fmax=cfg.get("FMAX", None),
         latent_dim=int(cfg.get("LATENT_DIM", 100)),
         fb_w_dtype=_fb_w_dtype(cfg.get("FB_W_DTYPE", "float32")),
+        fb_vjp=_fb_vjp(cfg.get("FB_VJP", "auto")),
     )
     hyper = TrainHyper(
         lr_fb=float(cfg["LR_FB"]),
@@ -252,7 +263,8 @@ def settings_dict(rc: RunConfig, run_id: str, exp_name: str) -> dict:
         GEOMETRY=dict(FS=m.fs, TIMESTEPS=m.timesteps, N_FFT=m.n_fft,
                       N_BANDS=m.n_bands, FMIN=m.fmin, FMAX=m.fmax,
                       HOP_RATIO=m.hop_ratio, LATENT_DIM=m.latent_dim,
-                      D_MODEL=m.d_model, FB_W_DTYPE=m.fb_w_dtype),
+                      D_MODEL=m.d_model, FB_W_DTYPE=m.fb_w_dtype,
+                      FB_VJP=m.fb_vjp),
     )
 
 
@@ -306,6 +318,7 @@ def config_from_settings(s: dict) -> tuple[BiEARConfig, TrainHyper, dict]:
         latent_dim=int(g.get("LATENT_DIM", 100)),
         d_model=int(g.get("D_MODEL", 128)),
         fb_w_dtype=_fb_w_dtype(g.get("FB_W_DTYPE", "float32")),
+        fb_vjp=_fb_vjp(g.get("FB_VJP", "auto")),
     )
     hyper = TrainHyper(
         loss_w_sound=float(s.get("LOSS_WEIGHT_SOUND", 0.2)),

@@ -65,6 +65,18 @@ class BiEARConfig:
     # numerics. Config key FB_W_DTYPE.
     fb_w_dtype: str = "float32"
 
+    # Backward-pass implementation for the filterbank hot op. "custom"
+    # = the fwd-shaped-gradient custom VJP (ops/filterbank._fb_bwd);
+    # "autodiff" = plain jax.grad of the reference body; "auto" picks by
+    # measured crossover (docs/fb_vjp_*.json, one v5e, ground-truth
+    # device_get timing): the custom bwd wins the scan-amortised chunk
+    # path at EVERY batch (+11-16 %) and the bare per-step path from
+    # batch 512 up (+17 %), but loses the per-step path below that
+    # (dispatch-latency-bound: its extra contractions are not amortised).
+    # make_train_chunk therefore resolves "auto" -> "custom"; the
+    # un-scanned path resolves by batch >= 512. Config key FB_VJP.
+    fb_vjp: str = "auto"
+
     # AuralNet baseline
     d_model: int = 128
     attn_heads: int = 4
@@ -79,6 +91,10 @@ class BiEARConfig:
             raise ValueError(
                 f"fb_w_dtype must be 'float32' or 'bfloat16', "
                 f"got {self.fb_w_dtype!r}")
+        if self.fb_vjp not in ("auto", "custom", "autodiff"):
+            raise ValueError(
+                f"fb_vjp must be 'auto', 'custom' or 'autodiff', "
+                f"got {self.fb_vjp!r}")
 
     @property
     def fmax_eff(self) -> float:

@@ -171,7 +171,8 @@ def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
         xmag, xre, xim, key = xs
 
         Y, Zre, Zim = filterbank_apply(Q, c["fc"], c["f_fft"],
-                                       xmag, xre, xim, w_dtype=_wdt(cfg))
+                                       xmag, xre, xim, w_dtype=_wdt(cfg),
+                                       vjp=cfg.fb_vjp)
         phase = band_phase(Zre, Zim)
         out = (Y, Q, phase)
 
@@ -310,9 +311,11 @@ def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
         xmL, xrL, xiL, xmR, xrR, xiR, key = xs
 
         YL, ZreL, ZimL = filterbank_apply(Q, c["fc"], c["f_fft"],
-                                          xmL, xrL, xiL, w_dtype=_wdt(cfg))
+                                          xmL, xrL, xiL, w_dtype=_wdt(cfg),
+                                          vjp=cfg.fb_vjp)
         YR, ZreR, ZimR = filterbank_apply(Q, c["fc"], c["f_fft"],
-                                          xmR, xrR, xiR, w_dtype=_wdt(cfg))
+                                          xmR, xrR, xiR, w_dtype=_wdt(cfg),
+                                          vjp=cfg.fb_vjp)
         out = (YL, YR, Q, band_phase(ZreL, ZimL), band_phase(ZreR, ZimR))
 
         if cfg.freeze_q:

@@ -137,7 +137,15 @@ def _fb_dot(lhs, rhs, bf16: bool, sub: str):
                       preferred_element_type=jnp.float32)
 
 
-def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None):
+# Measured per-step crossover for the custom bwd on the UN-scanned
+# dispatch path (docs/fb_vjp_{custom,autodiff}_small.json + the 512/1024
+# sweep): custom wins >= 512, loses <= 256. The scan-amortised chunk
+# path wins at every batch and forces "custom" upstream (train/loop.py).
+_FB_VJP_AUTO_MIN_BATCH = 512
+
+
+def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None,
+                     vjp: str = "auto"):
     """filterbank_apply_ref semantics with a traffic-minimal custom VJP.
 
     Forward math is filterbank_apply_ref verbatim (same eps placement,
@@ -145,11 +153,18 @@ def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None):
     gradient computation differs, by the algebra above (tested against
     jax.grad of the reference to float32 tolerance).
 
-    Default = plain jax.grad of the reference body: the first fleet run
-    that picked the custom bwd up ran ~3-4x slower at batch 64 (XLA's
-    scan-body scheduling beats the hand bwd there); BIEAR_FB_VJP=custom
-    opts in, pending the batch-1024 measurement."""
-    if os.environ.get("BIEAR_FB_VJP", "autodiff") == "autodiff":
+    vjp: "custom" | "autodiff" | "auto" (see BiEARConfig.fb_vjp). The
+    batch-512/1024 ground-truth measurement resolved the round-3 open
+    question: custom is +16-17 % on the production step and +11 % on the
+    fused pipeline (docs/fb_vjp_custom_sweep.json vs batch_sweep.json);
+    autodiff keeps the edge only on small un-scanned dispatches, so
+    "auto" picks by the measured crossover on the per-call batch.
+    Env BIEAR_FB_VJP overrides everything (experiment knob)."""
+    vjp = os.environ.get("BIEAR_FB_VJP", vjp)
+    if vjp == "auto":
+        vjp = ("custom" if Q.shape[0] >= _FB_VJP_AUTO_MIN_BATCH
+               else "autodiff")
+    if vjp == "autodiff":
         return filterbank_apply_ref(Q, fc, f_fft, Xmag, Xre, Xim,
                                     w_dtype=w_dtype)
     # custom_vjp takes positional args only; w_dtype rides as a static str

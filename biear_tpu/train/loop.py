@@ -16,6 +16,7 @@ train_biear.py:189-224) is computed in the same jit for free.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -232,6 +233,12 @@ def make_train_chunk(cfg, hp: TrainHyper, optimizer, model: str,
     (params, opt_state, stacked-metrics) where every metric leaf gains a
     leading (chunk_steps,) axis. RNG contract matches _SynthSource + the
     per-batch path: per step, one key split into (synthesis, dropout)."""
+    # Scan amortises dispatch latency, which flips the filterbank-bwd
+    # crossover: the custom VJP wins the chunked path at EVERY measured
+    # batch (64..2048, +11-16 %; docs/fb_vjp_*_small.json + the 512/1024
+    # sweep), so "auto" resolves to it here regardless of batch size.
+    if getattr(cfg, "fb_vjp", None) == "auto":
+        cfg = dataclasses.replace(cfg, fb_vjp="custom")
     loss_impl = _loss_fn(model)
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
