@@ -78,7 +78,8 @@ def _peak_for(device) -> float | None:
 
 
 def measure_ours(trace_dir: str | None = None,
-                 fb_w_dtype: str = "bfloat16") -> dict:
+                 fb_w_dtype: str = "bfloat16",
+                 mix_dtype: str = "bfloat16") -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -171,8 +172,11 @@ def measure_ours(trace_dir: str | None = None,
     # ---- fused synthesize->train pipeline (production path) ----
     ir, az, dist = make_test_hrir_bank()
     segs = make_test_segments(256)
+    # mix_dtype="bfloat16" is the production synthesis policy (bf16
+    # operands on the block-Toeplitz HRIR mix, f32 accumulation): measured
+    # -16% on the synthesis chain at batch 512 (data/synth.py::_mix_fast).
     synth = AnechoicSynthesizer(ir, az, dist, segs, fs=cfg.fs,
-                                num_lags=cfg.n_bands)
+                                num_lags=cfg.n_bands, mix_dtype=mix_dtype)
     chunk = make_train_chunk(cfg, hp, opt, "active", synth.batch_fn(BATCH),
                              CHUNK)
     # fresh state: the bare-step phase DONATED params/opt_state (its jit
@@ -294,7 +298,9 @@ def main():
     args = ap.parse_args()
 
     fb_w = "float32" if args.f32_parity else "bfloat16"
-    ours = measure_ours(trace_dir=args.trace, fb_w_dtype=fb_w)
+    mix = "float32" if args.f32_parity else "bfloat16"
+    ours = measure_ours(trace_dir=args.trace, fb_w_dtype=fb_w,
+                        mix_dtype=mix)
 
     baseline = baseline_dev = None
     if os.path.exists(BASELINE_CACHE):
@@ -334,6 +340,7 @@ def main():
         "baseline_device": baseline_dev,
         "batch": BATCH,
         "fb_w_dtype": fb_w,
+        "synth_mix_dtype": mix,
         "sync": "device_get",
     }))
 

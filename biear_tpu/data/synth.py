@@ -124,10 +124,22 @@ class AnechoicSynthesizer:
 
     def __init__(self, ir, az_deg, dist_m, segments, fs: int = 16000,
                  max_sources: int = 3, n_sectors: int = N_SECTORS,
-                 num_lags: int = 100, noise_snr_db=None):
+                 num_lags: int = 100, noise_snr_db=None,
+                 mix_dtype: str = "float32"):
         self.noise_snr_db = (None if noise_snr_db is None
                              else (float(noise_snr_db[0]),
                                    float(noise_snr_db[1])))
+        # SYNTH_MIX_DTYPE policy: operand dtype of the fast-path HRIR mix
+        # contraction (window x block-Toeplitz kernel bank). "bfloat16"
+        # halves the dominant per-batch traffic (the KB gather) — measured
+        # -16%/-19% on the full synthesis chain at batch 512/1024
+        # (docs/bench_r3 mix-variant probe) — at bf16 operand rounding on
+        # the mixed waveform (accumulation stays f32). Default float32 =
+        # the Precision.HIGH parity surface the synthesis oracles certify.
+        self.mix_dtype = str(mix_dtype).lower()
+        if self.mix_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"mix_dtype must be 'float32' or 'bfloat16', "
+                             f"got {mix_dtype!r}")
         ir = np.asarray(ir, np.float32)
         az = np.asarray(az_deg, np.float64) % 360.0
         dist = np.asarray(dist_m, np.float64)
@@ -247,9 +259,14 @@ class AnechoicSynthesizer:
             ii = np.arange(128)[None, :]
             d = jj - ii
             KB = ir_rev[:, :, d.clip(0, L - 1)] * ((d >= 0) & (d < L))
-            self._bank["KB"] = jax.device_put(
+            kb = jax.device_put(
                 KB.transpose(0, 2, 1, 3).reshape(M, 128 + L - 1, 256)
                 .astype(np.float32))
+            if self.mix_dtype == "bfloat16":
+                # cast ON DEVICE: the tunnel's host<->device transfer path
+                # only implements f32 planes (see the bank comment above)
+                kb = jax.jit(lambda a: a.astype(jnp.bfloat16))(kb)
+            self._bank["KB"] = kb
 
     # ---------------- single-sample program (vmapped) ----------------
 
@@ -373,19 +390,31 @@ class AnechoicSynthesizer:
         NOT bf16 quantization) while the per-sample path's conv pins
         HIGHEST (oracle: test_data.py::test_fast_mix_matches_numpy_conv_oracle).
         The contraction is ONE (nf, 128+L-1) x (128+L-1, 256) matmul
-        per (sample, source)."""
+        per (sample, source).
+
+        mix_dtype="bfloat16" runs the contraction with bf16 OPERANDS and
+        f32 accumulation (the gather itself stays f32 — Mosaic's dynamic
+        sublane slice requires 8-sublane f32 tiling — the window is cast
+        after): same algebra, operands rounded to ~8 mantissa bits before
+        the joint peak-normalisation that already discards absolute level.
+        Policy knob, measured: tests/test_data.py pins the bf16-vs-f32
+        waveform tolerance."""
         from ..ops.window_gather import gather_windows
         B, MS, fs, L = batch_size, self.max_sources, self.fs, self.ir_len
         X = B * MS
         nf = fs // 128
         rows = (seg_idx * self._n_q + qoff).reshape(X)
         win = gather_windows(bank["pool3"], rows, crop.reshape(X))
+        bf16 = self.mix_dtype == "bfloat16"
+        if bf16:
+            win = win.astype(jnp.bfloat16)
         nh = -(-(L - 1) // 128)                    # halo blocks (256 -> 2)
         Fw = jnp.concatenate([win[:, k:k + nf] for k in range(nh + 1)],
                              axis=-1)[:, :, :128 + L - 1]    # (X, nf, 383)
         Kx = bank["KB"][meas.reshape(X)]                     # (X, 383, 256)
         out = jnp.einsum("xfj,xjc->xfc", Fw, Kx,
-                         precision=jax.lax.Precision.HIGH)
+                         precision=None if bf16 else jax.lax.Precision.HIGH,
+                         preferred_element_type=jnp.float32)
         out = out.reshape(B, MS, nf, 2, 128)
         out = out * active.astype(out.dtype)[:, :, None, None, None]
         y = out.sum(axis=1).transpose(0, 2, 1, 3).reshape(B, 2, fs)

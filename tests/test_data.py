@@ -345,6 +345,35 @@ def test_meta_batch_matches_batch_with_noise():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_mix_dtype_policy():
+    """SYNTH_MIX_DTYPE knob: bfloat16 runs the fast-path HRIR mix with
+    bf16 operands / f32 accumulation. Same scene RNG stream -> identical
+    labels, waveforms within bf16 operand-rounding tolerance of the f32
+    path; invalid values fail eagerly (like FB_W_DTYPE)."""
+    ir, az, dist = make_test_hrir_bank()
+    segs = make_test_segments(8)
+    with pytest.raises(ValueError, match="mix_dtype"):
+        AnechoicSynthesizer(ir, az, dist, segs, mix_dtype="bf16")
+    f32 = AnechoicSynthesizer(ir, az, dist, segs)
+    b16 = AnechoicSynthesizer(ir, az, dist, segs, mix_dtype="bfloat16")
+    assert f32._fast and b16._fast
+    assert b16._bank["KB"].dtype == jnp.bfloat16
+    key = jax.random.PRNGKey(13)
+    a = f32.sample_batch(key, 12)
+    b = b16.sample_batch(key, 12)
+    # scene draws identical -> labels bit-identical, outputs all f32
+    np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
+    assert all(np.asarray(x).dtype == np.float32 for x in b)
+    # waveforms: bf16 operands round to ~8 mantissa bits; on +-1
+    # peak-normalised audio that is a ~1e-2 worst-case perturbation
+    for i in (0, 1):
+        err = np.abs(np.asarray(a[i]) - np.asarray(b[i])).max()
+        assert 0 < err < 2e-2, err
+    # CC feature of a slightly perturbed waveform stays close (it is
+    # peak-normalised per lag window)
+    assert np.abs(np.asarray(a[2]) - np.asarray(b[2])).max() < 5e-2
+
+
 def test_speech_pool_distinct_and_normalised():
     from biear_tpu.data.speech import make_speech_pool
     p1 = make_speech_pool(6, seed=1)

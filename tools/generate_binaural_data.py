@@ -190,12 +190,15 @@ def write_split(synth, out_dir, name, num: int, seed: int,
 
 
 def build_synthesizer(scene: str, sofa: str | None, segments, fs: int,
-                      num_lags: int = 100, noise_snr_db=None):
+                      num_lags: int = 100, noise_snr_db=None,
+                      mix_dtype: str = "float32"):
     """Scene -> synthesizer, with scene-correct speaker geometry and the
     reference's 4-tier head-yaw extraction for room BRIRs.
 
     num_lags: CC-feature dimension; must equal the model's cc input width
-    (100 in the canonical geometry, n_bands for scaled-down configs)."""
+    (100 in the canonical geometry, n_bands for scaled-down configs).
+    mix_dtype: anechoic fast-path HRIR-mix operand dtype (SYNTH_MIX_DTYPE
+    policy; room BRIRs use the FFT path, where the knob does not apply)."""
     from biear_tpu.data.synth import AnechoicSynthesizer, make_test_hrir_bank
     from biear_tpu.data.synth_reverb import (ReverbSynthesizer,
                                              make_test_brir_bank,
@@ -209,7 +212,8 @@ def build_synthesizer(scene: str, sofa: str | None, segments, fs: int,
             ir, az, dist = make_test_hrir_bank()
         return AnechoicSynthesizer(ir, az, dist, segments, fs=fs,
                                    num_lags=num_lags,
-                                   noise_snr_db=noise_snr_db)
+                                   noise_snr_db=noise_snr_db,
+                                   mix_dtype=mix_dtype)
 
     if sofa:
         from tools.sofa_io import load_sofa_brir, extract_head_yaw

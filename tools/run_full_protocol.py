@@ -126,6 +126,13 @@ def main():
                          "bfloat16 = DEFAULT-matmul-precision numerics at "
                          "~3.6x lower hot-op cost (ops/filterbank.py), "
                          "float32 = HIGHEST-precision parity surface")
+    ap.add_argument("--mix-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="anechoic fast-path HRIR-mix operand dtype "
+                         "(SYNTH_MIX_DTYPE): bfloat16 = measured -16%% on "
+                         "the synthesis chain at bf16 operand rounding; "
+                         "float32 = the synthesis-oracle parity surface "
+                         "(protocol default)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--runs-root", default=None)
     ap.add_argument("--comments", default=None)
@@ -192,7 +199,7 @@ def main():
            if args.noise_snr else None)
     synth_a = build_synthesizer(args.scene, None, pool_a, rc.model_cfg.fs,
                                 num_lags=rc.model_cfg.n_bands,
-                                noise_snr_db=snr)
+                                noise_snr_db=snr, mix_dtype=args.mix_dtype)
 
     print(f"[protocol] {args.train_size} train x {rc.epochs} epochs, "
           f"bs={rc.batch_size}, eval={args.eval_size}, scene={args.scene}, "
@@ -206,7 +213,7 @@ def main():
     # test1 = pool A, fresh seed; test2 = UNSEEN pool B. Both 1/3-1/3-1/3.
     synth_b = build_synthesizer(args.scene, None, pool_b, rc.model_cfg.fs,
                                 num_lags=rc.model_cfg.n_bands,
-                                noise_snr_db=snr)
+                                noise_snr_db=snr, mix_dtype=args.mix_dtype)
     for name, synth, seed_off in (("test1", synth_a, 777),
                                   ("test2", synth_b, 888)):
         ds = SynthEvalDataset(synth, args.eval_size, args.seed + seed_off,
