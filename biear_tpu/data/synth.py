@@ -255,12 +255,17 @@ class AnechoicSynthesizer:
             # ir_rev[m, e, jj-i] (the whole HRIR conv as ONE (nf, 383) x
             # (383, 256) matmul per (sample, source))
             ir_rev = np.ascontiguousarray(ir[:, :, ::-1])
-            jj = np.arange(128 + L - 1)[:, None]
+            # rows zero-padded 383 -> 384 (next 128-multiple): the fused
+            # Pallas mix kernel's framing contract (ops/window_gather.py
+            # ::gather_mix_kb) — extra rows multiply window samples the
+            # halo already covers by 0, so both paths are unchanged
+            ncol = 128 * (-(-(128 + L - 1) // 128))
+            jj = np.arange(ncol)[:, None]
             ii = np.arange(128)[None, :]
             d = jj - ii
             KB = ir_rev[:, :, d.clip(0, L - 1)] * ((d >= 0) & (d < L))
             kb = jax.device_put(
-                KB.transpose(0, 2, 1, 3).reshape(M, 128 + L - 1, 256)
+                KB.transpose(0, 2, 1, 3).reshape(M, ncol, 256)
                 .astype(np.float32))
             if self.mix_dtype == "bfloat16":
                 # cast ON DEVICE: the tunnel's host<->device transfer path
@@ -395,26 +400,36 @@ class AnechoicSynthesizer:
         mix_dtype="bfloat16" runs the contraction with bf16 OPERANDS and
         f32 accumulation (the gather itself stays f32 — Mosaic's dynamic
         sublane slice requires 8-sublane f32 tiling — the window is cast
-        after): same algebra, operands rounded to ~8 mantissa bits before
-        the joint peak-normalisation that already discards absolute level.
-        Policy knob, measured: tests/test_data.py pins the bf16-vs-f32
-        waveform tolerance."""
-        from ..ops.window_gather import gather_windows
+        in-kernel): same algebra, operands rounded to ~8 mantissa bits
+        before the joint peak-normalisation that already discards
+        absolute level. Policy knob, measured: tests/test_data.py pins
+        the bf16-vs-f32 waveform tolerance.
+
+        The bf16 path runs the FUSED Pallas kernel (gather_mix_kb):
+        window gather + halo framing + per-window matmul against the
+        VMEM-resident kernel bank in one pass — the (X, 384, 256)
+        gathered-KB and (X, nf, 384) framed-window HBM intermediates of
+        the unfused path (its super-linear scaling term, measured
+        round 3) never materialise. f32 stays on the unfused XLA path:
+        an f32 bank doubles the resident VMEM and that path is the
+        HIGH-precision oracle surface."""
+        from ..ops.window_gather import gather_windows, gather_mix_kb
         B, MS, fs, L = batch_size, self.max_sources, self.fs, self.ir_len
         X = B * MS
         nf = fs // 128
         rows = (seg_idx * self._n_q + qoff).reshape(X)
-        win = gather_windows(bank["pool3"], rows, crop.reshape(X))
-        bf16 = self.mix_dtype == "bfloat16"
-        if bf16:
-            win = win.astype(jnp.bfloat16)
-        nh = -(-(L - 1) // 128)                    # halo blocks (256 -> 2)
-        Fw = jnp.concatenate([win[:, k:k + nf] for k in range(nh + 1)],
-                             axis=-1)[:, :, :128 + L - 1]    # (X, nf, 383)
-        Kx = bank["KB"][meas.reshape(X)]                     # (X, 383, 256)
-        out = jnp.einsum("xfj,xjc->xfc", Fw, Kx,
-                         precision=None if bf16 else jax.lax.Precision.HIGH,
-                         preferred_element_type=jnp.float32)
+        if self.mix_dtype == "bfloat16":
+            out = gather_mix_kb(bank["pool3"], rows, crop.reshape(X),
+                                meas.reshape(X), bank["KB"], nf)
+        else:
+            win = gather_windows(bank["pool3"], rows, crop.reshape(X))
+            ncol = bank["KB"].shape[1]
+            Fw = jnp.concatenate([win[:, k:k + nf]
+                                  for k in range(ncol // 128)], axis=-1)
+            Kx = bank["KB"][meas.reshape(X)]                 # (X, 384, 256)
+            out = jnp.einsum("xfj,xjc->xfc", Fw, Kx,
+                             precision=jax.lax.Precision.HIGH,
+                             preferred_element_type=jnp.float32)
         out = out.reshape(B, MS, nf, 2, 128)
         out = out * active.astype(out.dtype)[:, :, None, None, None]
         y = out.sum(axis=1).transpose(0, 2, 1, 3).reshape(B, 2, fs)

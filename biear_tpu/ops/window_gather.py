@@ -98,6 +98,101 @@ def _gather_windows_xla(pool3, rows, offs):
     )(rows, offs).reshape(-1, WIN_BLOCKS, 128)
 
 
+def _mix_kernel(rows_ref, qb_ref, cl_ref, meas_ref, pool_ref, kb_ref,
+                out_ref, *, nf: int, ncol: int):
+    """Fused window-gather + block-Toeplitz HRIR matmul, one window per
+    grid step: build the rolled window in VMEM (same dataflow as
+    _window_kernel), frame it into the (nf, ncol) halo matrix, and
+    contract against this window's HRIR kernel block kb[meas[x]] — the
+    WHOLE kernel bank rides a constant index_map, so it is DMA'd into
+    VMEM once and stays resident across the grid (32 x 383 x 256 bf16 =
+    6.3 MB). HBM traffic per window drops to one pool row read + one
+    (nf, 256) f32 write: the (X, 383, 256) gathered-KB intermediate and
+    the (X, nf, 383) framed-window materialisation of the XLA path never
+    exist."""
+    i = pl.program_id(0)
+    c = cl_ref[i]
+    a = pool_ref[0, pl.ds(qb_ref[i], WIN_BLOCKS), :]
+    b = pool_ref[0, pl.ds(qb_ref[i] + 1, WIN_BLOCKS), :]
+    ra = pltpu.roll(a, -c, 1)
+    rb = pltpu.roll(b, -c, 1)
+    lane = lax.broadcasted_iota(jnp.int32, (WIN_BLOCKS, 128), 1)
+    w = jnp.where(lane < 128 - c, ra, rb)
+    # halo framing via SUBLANE rolls in f32 (offset-0 layouts — Mosaic
+    # cannot lane-concat sublane-offset slices like w[k:k+nf], and its
+    # rotate only handles 32-bit data, so the operand cast comes last);
+    # the roll's wrapped rows land at index >= 128-k > nf, sliced away
+    fw = jnp.concatenate(
+        [pltpu.roll(w, (WIN_BLOCKS - k) % WIN_BLOCKS, 0)[:nf]
+         for k in range(ncol // 128)], axis=-1)
+    out_ref[0] = jnp.dot(fw.astype(kb_ref.dtype), kb_ref[meas_ref[i]],
+                         preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _gather_mix_pallas(pool3, rows, offs, meas, kb, nf: int,
+                       interpret: bool):
+    X = rows.shape[0]
+    nb = pool3.shape[1]
+    M, ncol, two_ears = kb.shape
+    qb = (offs // 128).astype(jnp.int32)
+    cl = (offs % 128).astype(jnp.int32)
+    return pl.pallas_call(
+        functools.partial(_mix_kernel, nf=nf, ncol=ncol),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(X,),
+            in_specs=[pl.BlockSpec((1, nb, 128),
+                                   lambda i, r, q, c, m: (r[i], 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((M, ncol, two_ears),
+                                   lambda i, r, q, c, m: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, nf, two_ears),
+                                   lambda i, r, q, c, m: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((X, nf, two_ears), jnp.float32),
+        interpret=interpret,
+    )(rows.astype(jnp.int32), qb, cl, meas.astype(jnp.int32), pool3, kb)
+
+
+def _gather_mix_xla(pool3, rows, offs, meas, kb, nf: int):
+    """Fallback composition — the exact op sequence _mix_fast ran before
+    the fused kernel existed (gather -> operand cast -> halo concat ->
+    KB row gather -> batched contraction)."""
+    ncol = kb.shape[1]
+    win = _gather_windows_xla(pool3, rows, offs).astype(kb.dtype)
+    fw = jnp.concatenate([win[:, k:k + nf] for k in range(ncol // 128)],
+                         axis=-1)
+    return jnp.einsum("xfj,xjc->xfc", fw, kb[meas],
+                      preferred_element_type=jnp.float32)
+
+
+def gather_mix_kb(pool3, rows, offs, meas, kb, nf: int, *,
+                  use_kernel: bool | None = None):
+    """Fused sample-granular window extraction + block-Toeplitz HRIR
+    contraction: (X,) rows/offsets/measurement ids -> (X, nf, 2*128) f32
+    with out[x] = frame(window_x) @ kb[meas[x]] (f32 accumulation).
+    kb rows must be zero-padded to a multiple of 128 (the bank builder's
+    contract, data/synth.py) so the halo framing needs no unaligned
+    slicing.
+
+    THE hot op of on-device anechoic synthesis under the bf16 mix policy
+    (data/synth.py::_mix_fast): only M distinct HRIR kernel blocks exist
+    (one per measurement position), so gathering kb per (sample, source)
+    — X/M times redundantly, 1.2 GB at batch 2048 — is pure wasted HBM
+    traffic. The kernel holds the whole bank VMEM-resident instead.
+    use_kernel: None = kernel on TPU, XLA fallback elsewhere."""
+    if kb.shape[1] % 128:
+        raise ValueError(f"kb rows must be 128-padded, got {kb.shape}")
+    if use_kernel is None:
+        use_kernel = jax.default_backend() in ("tpu", "axon")
+    if use_kernel:
+        return _gather_mix_pallas(pool3, rows, offs, meas, kb, nf, False)
+    return _gather_mix_xla(pool3, rows, offs, meas, kb, nf)
+
+
 def gather_windows(pool3, rows, offs, *, use_kernel: bool | None = None):
     """(X,) rows + (X,) sample offsets -> (X, 128, 128) window blocks:
     out[x].reshape(16384)[t] == pool3[rows[x]].reshape(-1)[offs[x] + t].

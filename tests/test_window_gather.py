@@ -92,3 +92,66 @@ def test_dispatch_uses_fallback_on_cpu():
     np.testing.assert_array_equal(got.reshape(2, WIN),
                                   _oracle(pool3, np.asarray(rows),
                                           np.asarray(offs)))
+
+
+# ---------------- fused gather + block-Toeplitz mix ----------------
+
+def _mix_oracle(pool3, rows, offs, meas, kb, nf):
+    """numpy: out[x] = frame(window_x) @ kb[meas[x]], f64 accumulate."""
+    win = _oracle(pool3, rows, offs)                     # (X, WIN)
+    ncol = kb.shape[1]
+    X = len(rows)
+    out = np.zeros((X, nf, kb.shape[2]), np.float64)
+    for x in range(X):
+        fw = np.stack([win[x, 128 * f:128 * f + ncol] for f in range(nf)])
+        out[x] = fw.astype(np.float64) @ np.asarray(kb[meas[x]], np.float64)
+    return out
+
+
+def _mix_setup(seed, m_kernels=4, ncol=384):
+    pool, pool3, left_pad, max_off = _setup(seed)
+    rng = np.random.default_rng(seed + 100)
+    kb = rng.standard_normal((m_kernels, ncol, 256)).astype(np.float32)
+    n = 5
+    rows = rng.integers(0, pool.shape[0], size=n).astype(np.int32)
+    offs = rng.integers(0, max_off + left_pad, size=n).astype(np.int32)
+    meas = rng.integers(0, m_kernels, size=n).astype(np.int32)
+    return pool3, kb, rows, offs, meas
+
+
+def test_gather_mix_interpret_matches_oracle():
+    from biear_tpu.ops.window_gather import (_gather_mix_pallas,
+                                             _gather_mix_xla)
+    nf = 13
+    pool3, kb, rows, offs, meas = _mix_setup(7)
+    got = np.asarray(_gather_mix_pallas(
+        jnp.asarray(pool3), jnp.asarray(rows), jnp.asarray(offs),
+        jnp.asarray(meas), jnp.asarray(kb), nf, True))
+    want = _mix_oracle(pool3, rows, offs, meas, kb, nf)
+    assert got.shape == want.shape == (5, nf, 256)
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-4)
+
+
+def test_gather_mix_kernel_and_fallback_agree():
+    """Interpret-mode kernel vs XLA composition: same operand dtype (f32
+    here — bf16 is a device policy), identical framing -> tight match."""
+    from biear_tpu.ops.window_gather import (_gather_mix_pallas,
+                                             _gather_mix_xla)
+    nf = 13
+    pool3, kb, rows, offs, meas = _mix_setup(8)
+    a = np.asarray(_gather_mix_pallas(
+        jnp.asarray(pool3), jnp.asarray(rows), jnp.asarray(offs),
+        jnp.asarray(meas), jnp.asarray(kb), nf, True))
+    b = np.asarray(_gather_mix_xla(
+        jnp.asarray(pool3), jnp.asarray(rows), jnp.asarray(offs),
+        jnp.asarray(meas), jnp.asarray(kb), nf))
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+
+
+def test_gather_mix_rejects_unpadded_kb():
+    from biear_tpu.ops.window_gather import gather_mix_kb
+    pool3, kb, rows, offs, meas = _mix_setup(9)
+    with pytest.raises(ValueError, match="128-padded"):
+        gather_mix_kb(jnp.asarray(pool3), jnp.asarray(rows),
+                      jnp.asarray(offs), jnp.asarray(meas),
+                      jnp.asarray(kb[:, :383]), 13)

@@ -31,7 +31,8 @@ CHUNK_DISPATCHES = 3
 WINDOWS = 3
 
 
-def measure_batch(batch: int, fb_w_dtype: str) -> dict:
+def measure_batch(batch: int, fb_w_dtype: str,
+                  mix_dtype: str = "bfloat16") -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -90,7 +91,7 @@ def measure_batch(batch: int, fb_w_dtype: str) -> dict:
     ir, az, dist = make_test_hrir_bank()
     segs = make_test_segments(256)
     synth = AnechoicSynthesizer(ir, az, dist, segs, fs=cfg.fs,
-                                num_lags=cfg.n_bands)
+                                num_lags=cfg.n_bands, mix_dtype=mix_dtype)
     chunk = make_train_chunk(cfg, hp, opt, "active", synth.batch_fn(batch),
                              CHUNK)
     params2 = init_active(jax.random.PRNGKey(0), cfg)
@@ -134,15 +135,17 @@ def main():
     args = ap.parse_args()
 
     fb_w_dtype = "float32" if args.f32_parity else "bfloat16"
+    mix_dtype = "float32" if args.f32_parity else "bfloat16"
     rows = []
     for b in [int(x) for x in args.batches.split(",") if x]:
-        r = measure_batch(b, fb_w_dtype)
+        r = measure_batch(b, fb_w_dtype, mix_dtype)
         print(json.dumps(r), file=sys.stderr)
         rows.append(r)
 
     import jax
     out = {
         "fb_w_dtype": fb_w_dtype,
+        "synth_mix_dtype": mix_dtype,
         "device": getattr(jax.devices()[0], "device_kind",
                           str(jax.devices()[0])),
         "methodology": ("device_get-synced windows (median of "
