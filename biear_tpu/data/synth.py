@@ -383,7 +383,7 @@ class AnechoicSynthesizer:
         return active, sectors, meas, seg_idx, qoff, crop
 
     def _mix_fast(self, bank, active, meas, seg_idx, qoff, crop,
-                  batch_size: int):
+                  batch_size: int, use_kernel_hint=None):
         """windows -> block-Toeplitz HRIR conv -> masked source sum.
 
         out[b,e,t] = sum_s active * sum_k seg[t + c - k] ir[m, e, k] —
@@ -412,17 +412,25 @@ class AnechoicSynthesizer:
         the unfused path (its super-linear scaling term, measured
         round 3) never materialise. f32 stays on the unfused XLA path:
         an f32 bank doubles the resident VMEM and that path is the
-        HIGH-precision oracle surface."""
+        HIGH-precision oracle surface.
+
+        use_kernel: Pallas calls have no SPMD partitioning rule, so when
+        the synthesizer emits mesh-sharded batches (set_output_sharding
+        over >1 device) both gather ops force their bit-equivalent XLA
+        compositions, which GSPMD partitions like any other HLO."""
         from ..ops.window_gather import gather_windows, gather_mix_kb
         B, MS, fs, L = batch_size, self.max_sources, self.fs, self.ir_len
         X = B * MS
         nf = fs // 128
         rows = (seg_idx * self._n_q + qoff).reshape(X)
+        uk = False if use_kernel_hint is False else None
         if self.mix_dtype == "bfloat16":
             out = gather_mix_kb(bank["pool3"], rows, crop.reshape(X),
-                                meas.reshape(X), bank["KB"], nf)
+                                meas.reshape(X), bank["KB"], nf,
+                                use_kernel=uk)
         else:
-            win = gather_windows(bank["pool3"], rows, crop.reshape(X))
+            win = gather_windows(bank["pool3"], rows, crop.reshape(X),
+                                 use_kernel=uk)
             ncol = bank["KB"].shape[1]
             Fw = jnp.concatenate([win[:, k:k + nf]
                                   for k in range(ncol // 128)], axis=-1)
@@ -463,8 +471,12 @@ class AnechoicSynthesizer:
                        out_sharding=None, with_meta: bool = False):
         active, sectors, meas, seg_idx, qoff, crop = self._scene_batched(
             key, batch_size, n_src_fixed)
+        devs = getattr(out_sharding, "device_set", None)
         y_lr = self._mix_fast(bank, active, meas, seg_idx, qoff, crop,
-                              batch_size)
+                              batch_size,
+                              use_kernel_hint=(
+                                  False if devs is not None and len(devs) > 1
+                                  else None))
         if self.noise_snr_db is not None:
             y_lr = add_diffuse_noise(jax.random.fold_in(key, 2**20),
                                      y_lr, self.noise_snr_db)

@@ -145,7 +145,7 @@ _FB_VJP_AUTO_MIN_BATCH = 512
 
 
 def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None,
-                     vjp: str = "auto"):
+                     vjp: str = "auto", x_grad: bool = True):
     """filterbank_apply_ref semantics with a traffic-minimal custom VJP.
 
     Forward math is filterbank_apply_ref verbatim (same eps placement,
@@ -159,7 +159,20 @@ def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None,
     fused pipeline (docs/fb_vjp_custom_sweep.json vs batch_sweep.json);
     autodiff keeps the edge only on small un-scanned dispatches, so
     "auto" picks by the measured crossover on the per-call batch.
-    Env BIEAR_FB_VJP overrides everything (experiment knob)."""
+    Env BIEAR_FB_VJP overrides everything (experiment knob).
+
+    x_grad=False declares the spectra inputs (Xmag, Xre, Xim) OFF the
+    differentiation path, which in every model family they are — they
+    come from the rFFT of input audio, never from parameters. Autodiff
+    gets this for free (JAX transposes only along the path to the
+    differentiated inputs), but a custom bwd is opaque: without the
+    flag it computes the full dL/drhs contraction — a third Gaussian
+    rebuild + (B,F,4) dot per frame, ~2 ms/step of the round-3 trace —
+    only for the scan transpose to discard it. With the flag the bwd
+    returns symbolic zeros for the spectra and the H contraction never
+    exists. Param/Q gradients are bit-identical either way (H never
+    feeds them). Keep True for generic use (e.g. differentiating
+    through a learned signal path into X)."""
     vjp = os.environ.get("BIEAR_FB_VJP", vjp)
     if vjp == "auto":
         vjp = ("custom" if Q.shape[0] >= _FB_VJP_AUTO_MIN_BATCH
@@ -167,9 +180,11 @@ def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None,
     if vjp == "autodiff":
         return filterbank_apply_ref(Q, fc, f_fft, Xmag, Xre, Xim,
                                     w_dtype=w_dtype)
-    # custom_vjp takes positional args only; w_dtype rides as a static str
-    return _fb_apply(Q, fc, f_fft, Xmag, Xre, Xim,
-                     "bf16" if _fb_is_bf16(w_dtype) else "f32")
+    # custom_vjp takes positional args only; dtype/x_grad ride as a
+    # static mode string
+    mode = ("bf16" if _fb_is_bf16(w_dtype) else "f32") + \
+        ("" if x_grad else "|noxg")
+    return _fb_apply(Q, fc, f_fft, Xmag, Xre, Xim, mode)
 
 
 def _fb_is_bf16(w_dtype) -> bool:
@@ -182,7 +197,7 @@ def _fb_apply(Q, fc, f_fft, Xmag, Xre, Xim, mode):
 
 
 def _fb_fwd(Q, fc, f_fft, Xmag, Xre, Xim, mode):
-    bf16 = mode == "bf16"
+    bf16 = mode.startswith("bf16")
     _, _, eps_norm = _fb_eps()
     _, _, G = _fb_gauss(Q, fc, f_fft)
     ones = jnp.ones_like(Xmag[..., :1])
@@ -199,7 +214,8 @@ def _fb_fwd(Q, fc, f_fft, Xmag, Xre, Xim, mode):
 
 
 def _fb_bwd(mode, res, g):
-    bf16 = mode == "bf16"
+    bf16 = mode.startswith("bf16")
+    x_grad = not mode.endswith("|noxg")
     eps_q, _, _ = _fb_eps()
     Q, fc, f_fft, Xmag, Xre, Xim, Y, Zre, Zim, den, finite = res
     gY, gZre, gZim = g
@@ -217,9 +233,13 @@ def _fb_bwd(mode, res, g):
     dQ = (-fc / jnp.square(Q + eps_q) / bw[..., 0]
           * jnp.sum(g4 * T, axis=-1))
 
-    H = _fb_dot(G, g4, bf16, "bnf,bnc->bfc")             # (B, F, 4)
-    return (dQ, jnp.zeros_like(fc), jnp.zeros_like(f_fft),
-            H[..., 0], H[..., 1], H[..., 2])
+    if x_grad:
+        H = _fb_dot(G, g4, bf16, "bnf,bnc->bfc")         # (B, F, 4)
+        gX = (H[..., 0], H[..., 1], H[..., 2])
+    else:
+        gX = (jnp.zeros_like(Xmag), jnp.zeros_like(Xre),
+              jnp.zeros_like(Xim))
+    return (dQ, jnp.zeros_like(fc), jnp.zeros_like(f_fft), *gX)
 
 
 _fb_apply.defvjp(_fb_fwd, _fb_bwd)

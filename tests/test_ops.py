@@ -210,6 +210,40 @@ def test_filterbank_apply_custom_vjp_parity(rng):
     assert np.isfinite(np.asarray(gv)).all()
 
 
+def test_filterbank_apply_noxg_mode(rng):
+    """x_grad=False (mode '|noxg') must leave the Q gradient bit-identical
+    to the x_grad=True custom bwd (the skipped H contraction never feeds
+    dQ) and return exact zeros for the spectra cotangents."""
+    import jax
+    from biear_tpu.ops.filterbank import _fb_apply
+
+    fc, Q0 = np_erb_spaced_fc_and_q(64, 50.0, 7200.0)
+    f_fft = np.linspace(0, 8000.0, 257)
+    Q = (Q0[None] * rng.uniform(0.7, 1.4, (3, 64))).astype(np.float32)
+    X = (rng.standard_normal((3, 257)) + 1j * rng.standard_normal((3, 257)))
+    args = (jnp.asarray(Q), jnp.asarray(fc, jnp.float32),
+            jnp.asarray(f_fft, jnp.float32),
+            jnp.asarray(np.abs(X), jnp.float32),
+            jnp.asarray(X.real, jnp.float32),
+            jnp.asarray(X.imag, jnp.float32))
+
+    for mode in ("f32", "bf16"):
+        def loss(q, xm, xr, xi, m):
+            Y, Zre, Zim = _fb_apply(q, args[1], args[2], xm, xr, xi, m)
+            return jnp.sum(Y) + jnp.sum(Zre * Zim)
+
+        full = jax.grad(loss, argnums=(0, 1, 2, 3))(
+            args[0], args[3], args[4], args[5], mode)
+        noxg = jax.grad(loss, argnums=(0, 1, 2, 3))(
+            args[0], args[3], args[4], args[5], mode + "|noxg")
+        np.testing.assert_array_equal(np.asarray(full[0]),
+                                      np.asarray(noxg[0]))  # dQ identical
+        for g in noxg[1:]:
+            np.testing.assert_array_equal(np.asarray(g), 0.0)
+        for g in full[1:]:
+            assert np.abs(np.asarray(g)).max() > 0  # control: H was real
+
+
 def test_fixed_filterbank_matrix_clips_q():
     fc, Q0 = erb_spaced_fc_and_q(100, 50.0, 7200.0)
     f_fft = jnp.linspace(0.0, 8000.0, 513)

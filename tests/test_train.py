@@ -239,3 +239,34 @@ def test_train_chunk_matches_per_step_path():
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_param_grads_custom_vjp_matches_autodiff(rng, tiny_setup, monkeypatch):
+    """Step-level wiring check for the custom filterbank VJP with
+    x_grad=False (the frontends declare the spectra off the
+    differentiation path): full-model parameter gradients must match
+    plain autodiff to float32 tolerance."""
+    from biear_tpu.train.loop import _active_loss
+
+    cfg, params, hp, opt = tiny_setup
+    batch = _tiny_batch(rng, cfg)
+    key = jax.random.PRNGKey(3)
+
+    def grads(vjp):
+        monkeypatch.setenv("BIEAR_FB_VJP", vjp)
+        # eval-mode loss (no dropout) keeps both paths on the same RNG
+        f = lambda p: _active_loss(p, cfg, hp, batch, key,
+                                   False, "active")[0]
+        return jax.grad(f)(params)
+
+    try:
+        ga = grads("autodiff")
+        gc = grads("custom")
+    finally:
+        monkeypatch.delenv("BIEAR_FB_VJP", raising=False)
+    flat_a, _ = jax.flatten_util.ravel_pytree(ga)
+    flat_c, _ = jax.flatten_util.ravel_pytree(gc)
+    assert np.isfinite(np.asarray(flat_a)).all()
+    np.testing.assert_allclose(np.asarray(flat_c), np.asarray(flat_a),
+                               rtol=5e-4, atol=5e-6)

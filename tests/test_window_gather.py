@@ -155,3 +155,38 @@ def test_gather_mix_rejects_unpadded_kb():
         gather_mix_kb(jnp.asarray(pool3), jnp.asarray(rows),
                       jnp.asarray(offs), jnp.asarray(meas),
                       jnp.asarray(kb[:, :383]), 13)
+
+
+def test_mesh_sharded_synth_forces_xla_fallback(monkeypatch):
+    """Pallas calls have no SPMD partitioning rule: when the synthesizer
+    emits mesh-sharded batches, both gather ops must be asked for their
+    XLA compositions (use_kernel=False), and the numbers must match the
+    unsharded batch bit-for-bit."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from biear_tpu.data.synth import (AnechoicSynthesizer,
+                                      make_test_hrir_bank,
+                                      make_test_segments)
+    from biear_tpu.ops import window_gather as wg
+
+    seen = []
+    real = wg.gather_mix_kb
+
+    def spy(*a, **kw):
+        seen.append(kw.get("use_kernel", "missing"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(wg, "gather_mix_kb", spy)
+    ir, az, dist = make_test_hrir_bank()
+    segs = make_test_segments(16)
+    s = AnechoicSynthesizer(ir, az, dist, segs, fs=16000, num_lags=100,
+                            mix_dtype="bfloat16")
+    base = s.sample_batch(jax.random.PRNGKey(1), 8)
+    assert seen and seen[-1] != False  # noqa: E712  (None or absent = auto)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    s.set_output_sharding(NamedSharding(mesh, P("data")))
+    sharded = s.sample_batch(jax.random.PRNGKey(1), 8)
+    assert seen[-1] is False
+    for a, b in zip(base, sharded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
