@@ -51,15 +51,15 @@ def _effective_remat(cfg: BiEARConfig, batch: int) -> bool:
     the whole step's saved state is a few MB and remat would only buy
     back a full forward G-build+dot per frame: measured +3.4 % step
     throughput from skipping it (7-window device_get medians, batch
-    512 bf16-W). cfg.remat_frontend=False still forces remat off."""
-    import os
-    from ..ops.filterbank import _FB_VJP_AUTO_MIN_BATCH
+    512 bf16-W). cfg.remat_frontend=False still forces remat off.
+
+    The VJP resolution is filterbank.resolve_fb_vjp — the SAME resolver
+    filterbank_apply runs — so the remat decision cannot desync from
+    the VJP that actually executes."""
+    from ..ops.filterbank import resolve_fb_vjp
     if not cfg.remat_frontend:
         return False
-    vjp = os.environ.get("BIEAR_FB_VJP", cfg.fb_vjp)
-    if vjp == "auto":
-        vjp = "custom" if batch >= _FB_VJP_AUTO_MIN_BATCH else "autodiff"
-    return vjp != "custom"
+    return resolve_fb_vjp(cfg.fb_vjp, batch) != "custom"
 from . import layers as L
 
 

@@ -144,6 +144,23 @@ def _fb_dot(lhs, rhs, bf16: bool, sub: str):
 _FB_VJP_AUTO_MIN_BATCH = 512
 
 
+def resolve_fb_vjp(vjp: str, batch: int) -> str:
+    """THE single resolution of the filterbank VJP choice — env override,
+    then the measured auto crossover. Shared by filterbank_apply and by
+    the frontend's remat gate (models/frontend.py::_effective_remat),
+    which MUST agree: remat-off + autodiff would save the (B, N, F)
+    einsum operand per frame (~2 GB at batch 512 x 19 frames). Unknown
+    values raise rather than silently diverging between the two users."""
+    vjp = os.environ.get("BIEAR_FB_VJP", vjp)
+    if vjp == "auto":
+        vjp = ("custom" if batch >= _FB_VJP_AUTO_MIN_BATCH
+               else "autodiff")
+    if vjp not in ("custom", "autodiff"):
+        raise ValueError(f"fb_vjp must be 'auto', 'custom' or 'autodiff', "
+                         f"got {vjp!r}")
+    return vjp
+
+
 def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None,
                      vjp: str = "auto", x_grad: bool = True):
     """filterbank_apply_ref semantics with a traffic-minimal custom VJP.
@@ -169,14 +186,12 @@ def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None,
     flag it computes the full dL/drhs contraction — a third Gaussian
     rebuild + (B,F,4) dot per frame, ~2 ms/step of the round-3 trace —
     only for the scan transpose to discard it. With the flag the bwd
-    returns symbolic zeros for the spectra and the H contraction never
+    returns constant-zero cotangents for the spectra (cheap broadcasts
+    XLA folds out of the scan transpose) and the H contraction never
     exists. Param/Q gradients are bit-identical either way (H never
     feeds them). Keep True for generic use (e.g. differentiating
     through a learned signal path into X)."""
-    vjp = os.environ.get("BIEAR_FB_VJP", vjp)
-    if vjp == "auto":
-        vjp = ("custom" if Q.shape[0] >= _FB_VJP_AUTO_MIN_BATCH
-               else "autodiff")
+    vjp = resolve_fb_vjp(vjp, Q.shape[0])
     if vjp == "autodiff":
         return filterbank_apply_ref(Q, fc, f_fft, Xmag, Xre, Xim,
                                     w_dtype=w_dtype)

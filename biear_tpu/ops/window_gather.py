@@ -39,6 +39,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 WIN_BLOCKS = 128          # output window: 128 lane-blocks = 16384 samples
 
+# gather_mix_kb holds the whole HRIR kernel bank VMEM-resident. Budget:
+# Mosaic's default scoped VMEM is 16 MiB (measured on this image — the
+# round-2 kernel ladder OOM'd at 18.5 MiB), and the kernel also needs
+# two pipelined pool-row blocks (~2 x 128 KiB) plus the framed window
+# and output. 8 MiB of bank leaves comfortable headroom; the production
+# test bank is 6.3 MiB bf16. Larger banks fall back to the XLA path.
+_MIX_KB_VMEM_BYTES = 8 * 2**20
+
 
 def pad_pool_for_windows(pool: np.ndarray, left_pad: int,
                          max_off: int) -> np.ndarray:
@@ -54,15 +62,24 @@ def pad_pool_for_windows(pool: np.ndarray, left_pad: int,
     return out.reshape(NP, n_blocks, 128)
 
 
-def _window_kernel(rows_ref, qb_ref, cl_ref, pool_ref, out_ref):
-    i = pl.program_id(0)
+def _build_window(qb_ref, cl_ref, pool_ref, i):
+    """Rolled-window build shared by both kernels: slice the 128-aligned
+    part at a dynamic sublane offset, apply the sub-block offset as a
+    dynamic lane roll across the block boundary. Lives in ONE place
+    because the dataflow deliberately dodges the Mosaic DMA-descriptor
+    bug documented in the module header — a fix applied to one copy and
+    not another would silently desync the kernels."""
     c = cl_ref[i]
     a = pool_ref[0, pl.ds(qb_ref[i], WIN_BLOCKS), :]
     b = pool_ref[0, pl.ds(qb_ref[i] + 1, WIN_BLOCKS), :]
     ra = pltpu.roll(a, -c, 1)
     rb = pltpu.roll(b, -c, 1)
     lane = lax.broadcasted_iota(jnp.int32, (WIN_BLOCKS, 128), 1)
-    out_ref[0] = jnp.where(lane < 128 - c, ra, rb)
+    return jnp.where(lane < 128 - c, ra, rb)
+
+
+def _window_kernel(rows_ref, qb_ref, cl_ref, pool_ref, out_ref):
+    out_ref[0] = _build_window(qb_ref, cl_ref, pool_ref, pl.program_id(0))
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
@@ -111,13 +128,7 @@ def _mix_kernel(rows_ref, qb_ref, cl_ref, meas_ref, pool_ref, kb_ref,
     the (X, nf, 383) framed-window materialisation of the XLA path never
     exist."""
     i = pl.program_id(0)
-    c = cl_ref[i]
-    a = pool_ref[0, pl.ds(qb_ref[i], WIN_BLOCKS), :]
-    b = pool_ref[0, pl.ds(qb_ref[i] + 1, WIN_BLOCKS), :]
-    ra = pltpu.roll(a, -c, 1)
-    rb = pltpu.roll(b, -c, 1)
-    lane = lax.broadcasted_iota(jnp.int32, (WIN_BLOCKS, 128), 1)
-    w = jnp.where(lane < 128 - c, ra, rb)
+    w = _build_window(qb_ref, cl_ref, pool_ref, i)
     # halo framing via SUBLANE rolls in f32 (offset-0 layouts — Mosaic
     # cannot lane-concat sublane-offset slices like w[k:k+nf], and its
     # rotate only handles 32-bit data, so the operand cast comes last);
@@ -182,12 +193,26 @@ def gather_mix_kb(pool3, rows, offs, meas, kb, nf: int, *,
     (data/synth.py::_mix_fast): only M distinct HRIR kernel blocks exist
     (one per measurement position), so gathering kb per (sample, source)
     — X/M times redundantly, 1.2 GB at batch 2048 — is pure wasted HBM
-    traffic. The kernel holds the whole bank VMEM-resident instead.
-    use_kernel: None = kernel on TPU, XLA fallback elsewhere."""
-    if kb.shape[1] % 128:
+    traffic. The kernel holds the whole bank VMEM-resident instead —
+    which is also its limit: past _MIX_KB_VMEM_BYTES (the bank + the
+    pipelined pool rows + the framed window must fit Mosaic's scoped
+    VMEM) a large bank (e.g. a real SOFA set at fine angular resolution)
+    auto-falls back to the XLA composition rather than failing to
+    compile. use_kernel: None = kernel on TPU (bank permitting), XLA
+    fallback elsewhere; True forces the kernel (tests)."""
+    ncol = kb.shape[1]
+    if ncol % 128:
         raise ValueError(f"kb rows must be 128-padded, got {kb.shape}")
+    if nf + ncol // 128 - 1 > WIN_BLOCKS:
+        # frame nf-1 reads blocks [nf-1, nf-1 + ncol/128), which must
+        # stay inside the gathered window: the Pallas sublane roll would
+        # silently WRAP rows where the XLA concat raises.
+        raise ValueError(
+            f"window coverage exceeded: nf={nf} with ncol={ncol} needs "
+            f"{nf + ncol // 128 - 1} blocks > WIN_BLOCKS={WIN_BLOCKS}")
     if use_kernel is None:
-        use_kernel = jax.default_backend() in ("tpu", "axon")
+        use_kernel = (jax.default_backend() in ("tpu", "axon")
+                      and kb.nbytes <= _MIX_KB_VMEM_BYTES)
     if use_kernel:
         return _gather_mix_pallas(pool3, rows, offs, meas, kb, nf, False)
     return _gather_mix_xla(pool3, rows, offs, meas, kb, nf)

@@ -190,3 +190,32 @@ def test_mesh_sharded_synth_forces_xla_fallback(monkeypatch):
     assert seen[-1] is False
     for a, b in zip(base, sharded):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gather_mix_rejects_window_overrun():
+    from biear_tpu.ops.window_gather import gather_mix_kb, WIN_BLOCKS
+    pool3, kb, rows, offs, meas = _mix_setup(10)  # ncol=384 -> 3 blocks
+    with pytest.raises(ValueError, match="window coverage"):
+        gather_mix_kb(jnp.asarray(pool3), jnp.asarray(rows),
+                      jnp.asarray(offs), jnp.asarray(meas),
+                      jnp.asarray(kb), WIN_BLOCKS - 1)
+
+
+def test_gather_mix_large_bank_falls_back(monkeypatch):
+    """A bank over the VMEM budget must auto-dispatch to the XLA
+    composition instead of attempting (and failing) to hold it
+    VMEM-resident."""
+    from biear_tpu.ops import window_gather as wg
+
+    pool3, kb, rows, offs, meas = _mix_setup(11)
+    monkeypatch.setattr(wg, "_MIX_KB_VMEM_BYTES", kb.nbytes - 1)
+    monkeypatch.setattr(wg.jax, "default_backend", lambda: "tpu")
+    called = {}
+    monkeypatch.setattr(wg, "_gather_mix_xla",
+                        lambda *a, **k: called.setdefault("xla", True))
+    monkeypatch.setattr(wg, "_gather_mix_pallas",
+                        lambda *a, **k: called.setdefault("pallas", True))
+    wg.gather_mix_kb(jnp.asarray(pool3), jnp.asarray(rows),
+                     jnp.asarray(offs), jnp.asarray(meas),
+                     jnp.asarray(kb), 13)
+    assert called == {"xla": True}
