@@ -13,7 +13,8 @@ import json
 import os
 
 ORDER = ("flagship-s0", "flagship-s1", "fixedq-s0", "fixedq-s0b",
-         "fixedq-s1", "singlectrl", "auralnet", "auditorium", "spirit")
+         "fixedq-s1", "singlectrl", "singlectrl-s1", "auralnet",
+         "auralnet-s1", "auditorium", "spirit")
 
 
 def load(root="docs/protocol_r3"):
