@@ -30,7 +30,7 @@ ARMS = {
     "flagship": ("adaptive-Q (dual)", "#2a78d6",
                  ["r3-flagship", "r3-flagship-s1"]),
     "singlectrl": ("adaptive-Q (single)", "#1baf7a",
-                   ["r3-singlectrl"]),
+                   ["r3-singlectrl", "r3-singlectrl-s1"]),
     "fixedq": ("fixed-Q", "#eb6834",
                ["r3-fixedq-rerun", "r3-fixedq", "r3-fixedq-s1"]),
 }
@@ -51,6 +51,7 @@ ARCHIVE_LABEL = {
     "r3-flagship-s1": "flagship-s1",
     "r3-fixedq-s1": "fixedq-s1",
     "r3-singlectrl": "singlectrl",
+    "r3-singlectrl-s1": "singlectrl-s1",
 }
 
 
