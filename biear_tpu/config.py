@@ -106,6 +106,7 @@ def load_run_config(path: str) -> RunConfig:
         latent_dim=int(cfg.get("LATENT_DIM", 100)),
         fb_w_dtype=_fb_w_dtype(cfg.get("FB_W_DTYPE", "float32")),
         fb_vjp=_fb_vjp(cfg.get("FB_VJP", "auto")),
+        fb_x_grad=bool(cfg.get("FB_X_GRAD", False)),
     )
     hyper = TrainHyper(
         lr_fb=float(cfg["LR_FB"]),
@@ -264,7 +265,7 @@ def settings_dict(rc: RunConfig, run_id: str, exp_name: str) -> dict:
                       N_BANDS=m.n_bands, FMIN=m.fmin, FMAX=m.fmax,
                       HOP_RATIO=m.hop_ratio, LATENT_DIM=m.latent_dim,
                       D_MODEL=m.d_model, FB_W_DTYPE=m.fb_w_dtype,
-                      FB_VJP=m.fb_vjp),
+                      FB_VJP=m.fb_vjp, FB_X_GRAD=m.fb_x_grad),
     )
 
 
@@ -319,6 +320,7 @@ def config_from_settings(s: dict) -> tuple[BiEARConfig, TrainHyper, dict]:
         d_model=int(g.get("D_MODEL", 128)),
         fb_w_dtype=_fb_w_dtype(g.get("FB_W_DTYPE", "float32")),
         fb_vjp=_fb_vjp(g.get("FB_VJP", "auto")),
+        fb_x_grad=bool(g.get("FB_X_GRAD", False)),
     )
     hyper = TrainHyper(
         loss_w_sound=float(s.get("LOSS_WEIGHT_SOUND", 0.2)),

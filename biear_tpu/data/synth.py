@@ -414,30 +414,32 @@ class AnechoicSynthesizer:
         an f32 bank doubles the resident VMEM and that path is the
         HIGH-precision oracle surface.
 
-        use_kernel: Pallas calls have no SPMD partitioning rule, so when
-        the synthesizer emits mesh-sharded batches (set_output_sharding
-        over >1 device) both gather ops force their bit-equivalent XLA
-        compositions, which GSPMD partitions like any other HLO."""
-        from ..ops.window_gather import gather_windows, gather_mix_kb
+        use_kernel_hint: Pallas calls have no SPMD partitioning rule, so
+        when the synthesizer emits mesh-sharded batches
+        (set_output_sharding over >1 device) the caller passes False and
+        both gather ops take their bit-equivalent XLA compositions,
+        which GSPMD partitions like any other HLO. None = each op's own
+        auto dispatch; True forces the fused kernel (tests)."""
+        from ..ops.window_gather import (gather_windows, gather_mix_kb,
+                                         _gather_mix_xla)
         B, MS, fs, L = batch_size, self.max_sources, self.fs, self.ir_len
         X = B * MS
         nf = fs // 128
         rows = (seg_idx * self._n_q + qoff).reshape(X)
-        uk = False if use_kernel_hint is False else None
         if self.mix_dtype == "bfloat16":
             out = gather_mix_kb(bank["pool3"], rows, crop.reshape(X),
                                 meas.reshape(X), bank["KB"], nf,
-                                use_kernel=uk)
+                                use_kernel=use_kernel_hint)
         else:
-            win = gather_windows(bank["pool3"], rows, crop.reshape(X),
-                                 use_kernel=uk)
-            ncol = bank["KB"].shape[1]
-            Fw = jnp.concatenate([win[:, k:k + nf]
-                                  for k in range(ncol // 128)], axis=-1)
-            Kx = bank["KB"][meas.reshape(X)]                 # (X, 384, 256)
-            out = jnp.einsum("xfj,xjc->xfc", Fw, Kx,
-                             precision=jax.lax.Precision.HIGH,
-                             preferred_element_type=jnp.float32)
+            # f32 oracle path: the SAME composition gather_mix_kb falls
+            # back to (one framing contract, ops/window_gather.py), at
+            # HIGH precision and with the Pallas window gather when the
+            # hint allows it
+            out = _gather_mix_xla(
+                bank["pool3"], rows, crop.reshape(X), meas.reshape(X),
+                bank["KB"], nf, precision=jax.lax.Precision.HIGH,
+                gather=functools.partial(gather_windows,
+                                         use_kernel=use_kernel_hint))
         out = out.reshape(B, MS, nf, 2, 128)
         out = out * active.astype(out.dtype)[:, :, None, None, None]
         y = out.sum(axis=1).transpose(0, 2, 1, 3).reshape(B, 2, fs)

@@ -77,6 +77,18 @@ class BiEARConfig:
     # un-scanned path resolves by batch >= 512. Config key FB_VJP.
     fb_vjp: str = "auto"
 
+    # Whether loss gradients w.r.t. the INPUT WAVEFORMS are needed. The
+    # training objective never differentiates w.r.t. the audio (spectra
+    # are data), so the default False lets the custom FB VJP skip its
+    # dL/dX contraction (one full Gaussian rebuild + (B,F,4) dot per
+    # frame). Set True for input-saliency / adversarial analyses or a
+    # learned signal chain feeding the frontend — otherwise, under the
+    # custom VJP, jax.grad w.r.t. wavL/wavR returns exact zeros (the
+    # autodiff VJP computes correct waveform gradients either way, so
+    # without this knob the answer would flip with the batch-size-based
+    # VJP auto-selection). Config key FB_X_GRAD.
+    fb_x_grad: bool = False
+
     # AuralNet baseline
     d_model: int = 128
     attn_heads: int = 4

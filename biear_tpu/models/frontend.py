@@ -191,7 +191,7 @@ def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
 
         Y, Zre, Zim = filterbank_apply(Q, c["fc"], c["f_fft"],
                                        xmag, xre, xim, w_dtype=_wdt(cfg),
-                                       vjp=cfg.fb_vjp, x_grad=False)
+                                       vjp=cfg.fb_vjp, x_grad=cfg.fb_x_grad)
         phase = band_phase(Zre, Zim)
         out = (Y, Q, phase)
 
@@ -331,10 +331,10 @@ def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
 
         YL, ZreL, ZimL = filterbank_apply(Q, c["fc"], c["f_fft"],
                                           xmL, xrL, xiL, w_dtype=_wdt(cfg),
-                                          vjp=cfg.fb_vjp, x_grad=False)
+                                          vjp=cfg.fb_vjp, x_grad=cfg.fb_x_grad)
         YR, ZreR, ZimR = filterbank_apply(Q, c["fc"], c["f_fft"],
                                           xmR, xrR, xiR, w_dtype=_wdt(cfg),
-                                          vjp=cfg.fb_vjp, x_grad=False)
+                                          vjp=cfg.fb_vjp, x_grad=cfg.fb_x_grad)
         out = (YL, YR, Q, band_phase(ZreL, ZimL), band_phase(ZreR, ZimR))
 
         if cfg.freeze_q:

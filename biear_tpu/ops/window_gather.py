@@ -122,11 +122,11 @@ def _mix_kernel(rows_ref, qb_ref, cl_ref, meas_ref, pool_ref, kb_ref,
     _window_kernel), frame it into the (nf, ncol) halo matrix, and
     contract against this window's HRIR kernel block kb[meas[x]] — the
     WHOLE kernel bank rides a constant index_map, so it is DMA'd into
-    VMEM once and stays resident across the grid (32 x 383 x 256 bf16 =
-    6.3 MB). HBM traffic per window drops to one pool row read + one
-    (nf, 256) f32 write: the (X, 383, 256) gathered-KB intermediate and
-    the (X, nf, 383) framed-window materialisation of the XLA path never
-    exist."""
+    VMEM once and stays resident across the grid (32 x 384 x 256 bf16 =
+    6.3 MB; rows 128-padded per gather_mix_kb's contract). HBM traffic
+    per window drops to one pool row read + one (nf, 256) f32 write: the
+    (X, 384, 256) gathered-KB intermediate and the (X, nf, 384)
+    framed-window materialisation of the XLA path never exist."""
     i = pl.program_id(0)
     w = _build_window(qb_ref, cl_ref, pool_ref, i)
     # halo framing via SUBLANE rolls in f32 (offset-0 layouts — Mosaic
@@ -168,15 +168,20 @@ def _gather_mix_pallas(pool3, rows, offs, meas, kb, nf: int,
     )(rows.astype(jnp.int32), qb, cl, meas.astype(jnp.int32), pool3, kb)
 
 
-def _gather_mix_xla(pool3, rows, offs, meas, kb, nf: int):
+def _gather_mix_xla(pool3, rows, offs, meas, kb, nf: int, precision=None,
+                    gather=None):
     """Fallback composition — the exact op sequence _mix_fast ran before
     the fused kernel existed (gather -> operand cast -> halo concat ->
-    KB row gather -> batched contraction)."""
+    KB row gather -> batched contraction). The framing contract (KB rows
+    128-padded, halo = ncol/128 blocks) lives HERE and in _mix_kernel
+    only — synth.py's f32 oracle path calls this with precision=HIGH
+    and gather=gather_windows rather than keeping its own copy.
+    gather: window-gather impl (defaults to the XLA dynamic_slice)."""
     ncol = kb.shape[1]
-    win = _gather_windows_xla(pool3, rows, offs).astype(kb.dtype)
+    win = (gather or _gather_windows_xla)(pool3, rows, offs).astype(kb.dtype)
     fw = jnp.concatenate([win[:, k:k + nf] for k in range(ncol // 128)],
                          axis=-1)
-    return jnp.einsum("xfj,xjc->xfc", fw, kb[meas],
+    return jnp.einsum("xfj,xjc->xfc", fw, kb[meas], precision=precision,
                       preferred_element_type=jnp.float32)
 
 

@@ -270,3 +270,62 @@ def test_param_grads_custom_vjp_matches_autodiff(rng, tiny_setup, monkeypatch):
     assert np.isfinite(np.asarray(flat_a)).all()
     np.testing.assert_allclose(np.asarray(flat_c), np.asarray(flat_a),
                                rtol=5e-4, atol=5e-6)
+
+
+def test_effective_remat_tracks_vjp_resolution(monkeypatch):
+    """The remat gate must mirror resolve_fb_vjp exactly: remat only
+    when the autodiff VJP (with its (B,N,F) residuals) will run."""
+    import dataclasses
+    from biear_tpu.models.frontend import _effective_remat
+    from biear_tpu.ops.filterbank import _FB_VJP_AUTO_MIN_BATCH
+
+    cfg = BiEARConfig()
+    assert cfg.fb_vjp == "auto" and cfg.remat_frontend
+    monkeypatch.delenv("BIEAR_FB_VJP", raising=False)
+    # auto crossover: small batch -> autodiff -> remat; big -> custom -> no
+    assert _effective_remat(cfg, _FB_VJP_AUTO_MIN_BATCH - 1) is True
+    assert _effective_remat(cfg, _FB_VJP_AUTO_MIN_BATCH) is False
+    # explicit modes override the batch
+    assert _effective_remat(
+        dataclasses.replace(cfg, fb_vjp="custom"), 4) is False
+    assert _effective_remat(
+        dataclasses.replace(cfg, fb_vjp="autodiff"), 4096) is True
+    # remat_frontend=False always wins
+    assert _effective_remat(
+        dataclasses.replace(cfg, remat_frontend=False), 4) is False
+    # env override reaches the shared resolver
+    monkeypatch.setenv("BIEAR_FB_VJP", "custom")
+    assert _effective_remat(cfg, 4) is False
+    monkeypatch.setenv("BIEAR_FB_VJP", "bogus")
+    with pytest.raises(ValueError, match="fb_vjp"):
+        _effective_remat(cfg, 4)
+
+
+def test_fb_x_grad_knob_restores_waveform_gradients(rng, tiny_setup,
+                                                    monkeypatch):
+    """Under the custom VJP, dL/dwav is exactly zero with the default
+    fb_x_grad=False and nonzero (matching autodiff) with the knob on."""
+    import dataclasses
+    from biear_tpu.train.loop import _active_loss
+
+    cfg, params, hp, opt = tiny_setup
+    batch = _tiny_batch(rng, cfg)
+    key = jax.random.PRNGKey(5)
+
+    def wav_grad(c, vjp):
+        monkeypatch.setenv("BIEAR_FB_VJP", vjp)
+        f = lambda wl: _active_loss(params, c, hp,
+                                    (wl, batch[1], batch[2], batch[3]),
+                                    key, False, "active")[0]
+        return np.asarray(jax.grad(f)(batch[0]))
+
+    try:
+        g_off = wav_grad(cfg, "custom")
+        g_on = wav_grad(dataclasses.replace(cfg, fb_x_grad=True), "custom")
+        g_ref = wav_grad(dataclasses.replace(cfg, fb_x_grad=True),
+                         "autodiff")
+    finally:
+        monkeypatch.delenv("BIEAR_FB_VJP", raising=False)
+    np.testing.assert_array_equal(g_off, 0.0)
+    assert np.abs(g_on).max() > 0
+    np.testing.assert_allclose(g_on, g_ref, rtol=5e-4, atol=1e-7)
