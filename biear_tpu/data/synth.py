@@ -105,7 +105,10 @@ def assemble_batch(one_fn, bank, key, batch_size: int, n_src_fixed: int,
                                jnp.stack([wavL, wavR], axis=1),
                                noise_snr_db)
         wavL, wavR = yn[:, 0], yn[:, 1]
-    x3 = cross_correlation_feature(wavL, wavR, fs, num_lags=num_lags)
+    devs = getattr(out_sharding, "device_set", None)
+    x3 = cross_correlation_feature(
+        wavL, wavR, fs, num_lags=num_lags,
+        use_kernel=False if devs is not None and len(devs) > 1 else None)
     out = (wavL, wavR, x3, y)
     if out_sharding is not None:
         out = jax.lax.with_sharding_constraint(out,
@@ -474,17 +477,16 @@ class AnechoicSynthesizer:
         active, sectors, meas, seg_idx, qoff, crop = self._scene_batched(
             key, batch_size, n_src_fixed)
         devs = getattr(out_sharding, "device_set", None)
+        uk = False if devs is not None and len(devs) > 1 else None
         y_lr = self._mix_fast(bank, active, meas, seg_idx, qoff, crop,
-                              batch_size,
-                              use_kernel_hint=(
-                                  False if devs is not None and len(devs) > 1
-                                  else None))
+                              batch_size, use_kernel_hint=uk)
         if self.noise_snr_db is not None:
             y_lr = add_diffuse_noise(jax.random.fold_in(key, 2**20),
                                      y_lr, self.noise_snr_db)
         wavL, wavR = y_lr[:, 0], y_lr[:, 1]
         x3 = cross_correlation_feature(wavL, wavR, self.fs,
-                                       num_lags=self.num_lags)
+                                       num_lags=self.num_lags,
+                                       use_kernel=uk)
         y = self._labels_batched(bank, active, sectors, meas)
         out = (wavL, wavR, x3, y)
         if out_sharding is not None:

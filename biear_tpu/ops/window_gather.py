@@ -236,3 +236,95 @@ def gather_windows(pool3, rows, offs, *, use_kernel: bool | None = None):
     if use_kernel:
         return _gather_windows_pallas(pool3, rows, offs, False)
     return _gather_windows_xla(pool3, rows, offs)
+
+
+# ---------------- fused binaural cross-correlation kernel ----------------
+
+def _cc_kernel(lp_ref, rf_ref, out_ref, *, nb: int, group: int):
+    """Per-batch-row CC over the kept +/-max_kept lag window, all in VMEM.
+
+    The XLA MXU composition (ops/xcorr.py::_cc_kept_lags_mxu) is
+    formatting-bound, not FLOP-bound: at batch 512 the halo-concat
+    framing alone is 1.8 ms and the strided-diagonal pad/reshape another
+    1.1 ms, against 0.1 ms of matmul (stage probe, round 3). Here the
+    (nb, 256) halo frame is built by a sublane roll, contracted on the
+    MXU at Precision.HIGHEST (BIT-EXACT vs the XLA path — one parity
+    surface for both dispatches), and the lag diagonals are extracted by
+    a log-step per-row lane roll. `group` rows per grid step amortise
+    the per-step latency that dominated the G=1 version (measured 2.6 ->
+    1.8 ms at batch 512, G=8).
+
+    Layouts are fully 8-sublane-aligned BY CONSTRUCTION (nb = padded
+    block count, trailing blocks zero): Mosaic rejects rolls/slices on
+    odd sublane counts like (126, 128) — measured on this image
+    (tpu_compile_helper exit 1), which is why the caller pads rather
+    than passing the tight nf+1 blocks.
+
+    out[g, 0, s] = sum_i C[i, i+s],  C = Rf_g^T @ Lw_g  (s < 128; caller
+    keeps the first n_s lags; zero-padded trailing blocks contribute
+    zero). Diagonal trick: rolling row i left by i makes out[s] a plain
+    sublane sum; the per-row-variable roll is 7 constant rolls selected
+    by the bits of i, and no wrapped lane lands in s < 128 because
+    s + i <= 127 + 127 = 254 < 256."""
+    row = lax.broadcasted_iota(jnp.int32, (128, 256), 0)
+    for g in range(group):
+        Lb = lp_ref[g]                                # (nb, 128)
+        # left-shift by one block == roll down by nb-1 (roll shift must
+        # be non-negative)
+        Lw = jnp.concatenate(
+            [Lb, pltpu.roll(Lb, nb - 1, 0)], axis=-1)  # (nb, 256)
+        C = lax.dot_general(rf_ref[g], Lw, (((0,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            C = jnp.where((row & k) != 0, pltpu.roll(C, 256 - k, 1), C)
+        out_ref[g] = jnp.sum(C[:, :128], axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _cc_pallas(lp3, rf3, nb: int, group: int, interpret: bool):
+    B = lp3.shape[0]
+    return pl.pallas_call(
+        functools.partial(_cc_kernel, nb=nb, group=group),
+        grid=(B // group,),
+        in_specs=[pl.BlockSpec((group, nb, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((group, nb, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((group, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, 128), jnp.float32),
+        interpret=interpret,
+    )(lp3, rf3)
+
+
+def cc_kept_lags(lf, rf, max_kept: int, *, use_kernel: bool | None = None,
+                 interpret: bool = False):
+    """corr[l] for l in [-max_kept, max_kept]: (B, n) x2 -> (B, 2*max_kept+1)
+    with corr[b, s - max_kept] = sum_m rf[b, m] lf[b, m + s - max_kept].
+
+    Fused Pallas path on TPU (requires n % 128 == 0, max_kept <= 63 so
+    the shifted row fits the two-block halo); the caller
+    (ops/xcorr.py) keeps its XLA composition as the fallback/oracle —
+    the kernel is BIT-EXACT against it (HIGHEST-precision dot).
+    use_kernel=None auto-dispatches; False forces the caller's fallback
+    (returns None here so the caller can tell)."""
+    B, n = lf.shape
+    nf = n // 128
+    ok = (n % 128 == 0 and 0 < max_kept <= 63)
+    if use_kernel is None:
+        use_kernel = ok and jax.default_backend() in ("tpu", "axon")
+    if not use_kernel:
+        return None
+    if not ok:
+        raise ValueError(f"cc kernel needs n%128==0 and max_kept<=63, "
+                         f"got n={n}, max_kept={max_kept}")
+    # nb: signal needs nf+1 blocks after the max_kept left-pad; align to
+    # the 8-sublane f32 tile (see _cc_kernel docstring)
+    nb = 8 * (-(-(nf + 2) // 8))
+    group = next(g for g in (8, 4, 2, 1) if B % g == 0)
+    lp = jnp.pad(lf, ((0, 0), (max_kept, nb * 128 - n - max_kept)))
+    rp = jnp.pad(rf, ((0, 0), (0, nb * 128 - n)))
+    return _cc_pallas(lp.reshape(B, nb, 128),
+                      rp.reshape(B, nb, 128), nb, group,
+                      interpret)[:, 0, :2 * max_kept + 1]

@@ -87,15 +87,22 @@ def _cc_kept_lags_mxu(lf, rf, max_kept: int):
 
 
 def cross_correlation_feature(left, right, fs: int, num_lags: int = 100,
-                              max_lag_ms: float = 3.0):
+                              max_lag_ms: float = 3.0,
+                              use_kernel: bool | None = None):
     """Batched CC feature: left, right (B, N) -> (B, num_lags) float32.
 
     corr[l] = sum_m left[m + l] * right[m]  (after mean removal), matching
     np.correlate(left, right, "full") at the kept lags.
-    """
+
+    use_kernel: dispatch of the fused Pallas lag kernel
+    (ops/window_gather.py::cc_kept_lags — the XLA composition below is
+    formatting-bound, ~3 ms vs ~0.3 ms at batch 512). None = kernel on
+    TPU when shapes allow; False forces the XLA path (CPU tests, and
+    mesh-sharded callers — Pallas calls have no SPMD partitioning rule)."""
     if left.ndim == 1:
         return cross_correlation_feature(left[None], right[None], fs,
-                                         num_lags, max_lag_ms)[0]
+                                         num_lags, max_lag_ms,
+                                         use_kernel=use_kernel)[0]
     B, n = left.shape
     kept, j0, w = _lag_plan(n, fs, num_lags, max_lag_ms)
     max_kept = int(np.max(np.abs(kept)))
@@ -106,7 +113,13 @@ def cross_correlation_feature(left, right, fs: int, num_lags: int = 100,
     rf = right - jnp.mean(right, axis=-1, keepdims=True)
 
     if n % 128 == 0 and 2 * max_kept <= 128:
-        return _interp_to_lags(_cc_kept_lags_mxu(lf, rf, max_kept), j0, w)
+        cc = None
+        if max_kept <= 63:
+            from .window_gather import cc_kept_lags
+            cc = cc_kept_lags(lf, rf, max_kept, use_kernel=use_kernel)
+        if cc is None:
+            cc = _cc_kept_lags_mxu(lf, rf, max_kept)
+        return _interp_to_lags(cc, j0, w)
 
     # FFT fallback for unaligned N. Exactness needs only fft_len >=
     # n + max|kept lag|, not the full 2n-1: circular wrap at a kept lag l

@@ -219,3 +219,57 @@ def test_gather_mix_large_bank_falls_back(monkeypatch):
                      jnp.asarray(offs), jnp.asarray(meas),
                      jnp.asarray(kb), 13)
     assert called == {"xla": True}
+
+
+# ---------------- fused cross-correlation lag kernel ----------------
+
+def test_cc_kernel_interpret_matches_numpy():
+    """Interpret-mode kernel vs np.correlate at the kept lags."""
+    from biear_tpu.ops.window_gather import cc_kept_lags
+    rng = np.random.default_rng(3)
+    B, n, mk = 4, 1280, 48
+    lf = rng.standard_normal((B, n)).astype(np.float32)
+    rf = rng.standard_normal((B, n)).astype(np.float32)
+    got = np.asarray(cc_kept_lags(jnp.asarray(lf), jnp.asarray(rf), mk,
+                                  use_kernel=True, interpret=True))
+    assert got.shape == (B, 2 * mk + 1)
+    for b in range(B):
+        full = np.correlate(lf[b].astype(np.float64),
+                            rf[b].astype(np.float64), "full")
+        want = full[n - 1 - mk:n + mk]
+        np.testing.assert_allclose(got[b], want, rtol=2e-5, atol=2e-3)
+
+
+def test_cc_kernel_matches_xla_composition():
+    from biear_tpu.ops.window_gather import cc_kept_lags
+    from biear_tpu.ops.xcorr import _cc_kept_lags_mxu
+    rng = np.random.default_rng(4)
+    B, n, mk = 3, 2560, 33
+    lf = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+    rf = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+    a = np.asarray(cc_kept_lags(lf, rf, mk, use_kernel=True,
+                                interpret=True))
+    b = np.asarray(_cc_kept_lags_mxu(lf, rf, mk))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-4)
+
+
+def test_cc_feature_kernel_gating():
+    """cross_correlation_feature: use_kernel=False (the mesh-sharded
+    path) and the CPU auto path must agree bit-for-bit; use_kernel=None
+    on CPU dispatches the XLA composition."""
+    from biear_tpu.ops.xcorr import cross_correlation_feature
+    rng = np.random.default_rng(5)
+    B, n = 4, 16000
+    lf = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+    rf = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+    auto = np.asarray(cross_correlation_feature(lf, rf, 16000))
+    forced = np.asarray(cross_correlation_feature(lf, rf, 16000,
+                                                  use_kernel=False))
+    np.testing.assert_array_equal(auto, forced)
+
+
+def test_cc_kernel_rejects_bad_shapes():
+    from biear_tpu.ops.window_gather import cc_kept_lags
+    x = jnp.zeros((2, 1280), jnp.float32)
+    with pytest.raises(ValueError, match="cc kernel"):
+        cc_kept_lags(x, x, 64, use_kernel=True)   # max_kept > 63
