@@ -12,7 +12,7 @@ feature + fwd + BPTT + Adam, flagship dual-controller adaptive-Q model)
 at batch 512 — what a user actually gets per chip-second of training.
 (Operating point measured, not guessed: tools/bench_batch_sweep.py →
 docs/batch_sweep.json; 512 runs the bare step at its saturation rate
-and the fused pipeline within 1.6 % of its batch-256 peak.)
+with the fused pipeline tied with the batch-256 peak.)
 `model_step_utt_s` reports the bare train step on a fixed in-HBM batch
 (the round-1/2 headline) for continuity.
 
