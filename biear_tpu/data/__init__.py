@@ -5,6 +5,7 @@ from .h5io import (
 )
 from .pipeline import batch_iterator, Prefetcher
 from .synth import AnechoicSynthesizer, make_test_hrir_bank, make_test_segments
+from .passive_synth import PassiveFeatureSynth
 from .synth_reverb import (ReverbSynthesizer, make_test_brir_bank,
                            AUDITORIUM3_SPEAKER_XY, SPIRIT_SPEAKER_XY,
                            dist_class_5, scene_speaker_xy)

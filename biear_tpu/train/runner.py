@@ -79,7 +79,10 @@ class SynthEvalDataset:
         if keep_on_device is None:
             fs = getattr(synth, "fs", 16000)
             lags = getattr(synth, "num_lags", 100)
-            est_mb = n * (2 * fs + lags + 56) * 4 / 2**20
+            # synths emitting non-waveform batches (PassiveFeatureSynth)
+            # declare their own per-row element count
+            row = getattr(synth, "row_elems", 2 * fs + lags + 56)
+            est_mb = n * row * 4 / 2**20
             keep_on_device = est_mb <= self.AUTO_BUDGET_MB
             if not keep_on_device:
                 print(f"[SynthEvalDataset] split of {n} rows ~{est_mb:.0f} "

@@ -36,23 +36,30 @@ def predictions_on_device(params, cfg, dataset, model_kind="active"):
     prediction arrays host-side (the waveforms never cross the tunnel).
     Stacked same-shape batch groups run as ONE scanned dispatch each."""
     import jax
-    from biear_tpu.models import active_forward, auralnet_forward
+    from biear_tpu.models import (active_forward, auralnet_forward,
+                                  passive_forward)
     from biear_tpu.train.losses import sanitize_x3, sanitize_wav
 
+    passive = model_kind == "passive"
+    n_in = 5 if passive else 3
     fwd = auralnet_forward if model_kind == "auralnet" else active_forward
 
-    @jax.jit
-    def step(p, wavL, wavR, x3):
+    def _fwd(p, feats):
+        if passive:
+            # (x1, x2, x3, x4, x5) from PassiveFeatureSynth batches
+            return passive_forward(p, cfg, *feats, train=False)[:3]
+        wavL, wavR, x3 = feats
         wavL, wavR = sanitize_wav(wavL, wavR)
         return fwd(p, cfg, wavL, wavR, sanitize_x3(x3), train=False)[:3]
 
     @jax.jit
+    def step(p, feats):
+        return _fwd(p, feats)
+
+    @jax.jit
     def stacked(p, batches):
         def body(_, b):
-            wavL, wavR, x3 = b[:3]
-            wavL, wavR = sanitize_wav(wavL, wavR)
-            return None, fwd(p, cfg, wavL, wavR, sanitize_x3(x3),
-                             train=False)[:3]
+            return None, _fwd(p, b)
 
         _, (s, a, d) = jax.lax.scan(body, None, batches)
         return s, a, d
@@ -60,16 +67,16 @@ def predictions_on_device(params, cfg, dataset, model_kind="active"):
     souts, aouts, douts, ys = [], [], [], []
     if getattr(dataset, "stacked_groups", None):
         for g in dataset.stacked_groups:
-            s, a, d = stacked(params, g[:3])
+            s, a, d = stacked(params, g[:n_in])
             nb, bs = g[0].shape[:2]
             souts.append(np.asarray(s).reshape(nb * bs, -1))
             aouts.append(np.asarray(a).reshape(nb * bs, -1))
             douts.append(np.asarray(d).reshape(nb * bs, 8, -1))
-            ys.append(np.asarray(g[3]).reshape(nb * bs, -1))
+            ys.append(np.asarray(g[n_in]).reshape(nb * bs, -1))
     else:
         for batch in dataset.device_batches():
-            wavL, wavR, x3, y = batch[:4]
-            s, a, d = step(params, wavL, wavR, x3)
+            y = batch[n_in]
+            s, a, d = step(params, tuple(batch[:n_in]))
             souts.append(np.asarray(s)); aouts.append(np.asarray(a))
             douts.append(np.asarray(d)); ys.append(np.asarray(y))
     return (np.concatenate(souts), np.concatenate(aouts),
@@ -197,9 +204,20 @@ def main():
         pool_b = make_test_segments(args.pool_size, seed=args.seed + 9999)
     snr = (tuple(float(x) for x in args.noise_snr.split(","))
            if args.noise_snr else None)
-    synth_a = build_synthesizer(args.scene, None, pool_a, rc.model_cfg.fs,
-                                num_lags=rc.model_cfg.n_bands,
-                                noise_snr_db=snr, mix_dtype=args.mix_dtype)
+    def _wrap(s):
+        if rc.model_kind != "passive":
+            return s
+        # passive family: the reference's offline 5-feature precompute
+        # (create_h5_data/data_save.py:122-164) computed on-device
+        from biear_tpu.data.passive_synth import PassiveFeatureSynth
+        return PassiveFeatureSynth(s, data_dim=rc.model_cfg.n_bands,
+                                   timesteps=rc.model_cfg.timesteps)
+
+    synth_a = _wrap(build_synthesizer(args.scene, None, pool_a,
+                                      rc.model_cfg.fs,
+                                      num_lags=rc.model_cfg.n_bands,
+                                      noise_snr_db=snr,
+                                      mix_dtype=args.mix_dtype))
 
     print(f"[protocol] {args.train_size} train x {rc.epochs} epochs, "
           f"bs={rc.batch_size}, eval={args.eval_size}, scene={args.scene}, "
@@ -211,9 +229,11 @@ def main():
     params = out["params"]
 
     # test1 = pool A, fresh seed; test2 = UNSEEN pool B. Both 1/3-1/3-1/3.
-    synth_b = build_synthesizer(args.scene, None, pool_b, rc.model_cfg.fs,
-                                num_lags=rc.model_cfg.n_bands,
-                                noise_snr_db=snr, mix_dtype=args.mix_dtype)
+    synth_b = _wrap(build_synthesizer(args.scene, None, pool_b,
+                                      rc.model_cfg.fs,
+                                      num_lags=rc.model_cfg.n_bands,
+                                      noise_snr_db=snr,
+                                      mix_dtype=args.mix_dtype))
     for name, synth, seed_off in (("test1", synth_a, 777),
                                   ("test2", synth_b, 888)):
         ds = SynthEvalDataset(synth, args.eval_size, args.seed + seed_off,

@@ -58,6 +58,15 @@ def main():
             sofa = None
         synth = build_synthesizer(scene, sofa, segments, rc.model_cfg.fs,
                                   num_lags=rc.model_cfg.n_bands)
+        if not rc.active or rc.model_kind == "passive":
+            # passive family: compute the reference's offline 5-feature
+            # set (create_h5_data/data_save.py:122-164) on-device from
+            # the synthesized waveforms — no H5 precompute stage
+            from biear_tpu.data.passive_synth import PassiveFeatureSynth
+            synth = PassiveFeatureSynth(
+                synth, data_dim=rc.model_cfg.n_bands,
+                timesteps=rc.model_cfg.timesteps)
+            print("[Synth] passive mode: on-device 5-feature extraction")
 
     out = train(rc, synth=synth, seed=args.seed, quiet=args.quiet,
                 max_steps_per_epoch=args.max_steps_per_epoch,
