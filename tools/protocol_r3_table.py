@@ -12,9 +12,11 @@ import glob
 import json
 import os
 
-ORDER = ("flagship-s0", "flagship-s1", "fixedq-s0", "fixedq-s0b",
-         "fixedq-s1", "singlectrl", "singlectrl-s1", "auralnet",
-         "auralnet-s1", "auditorium", "spirit")
+ORDER = ("flagship-s0", "flagship-s1", "flagship-s2", "fixedq-s0",
+         "fixedq-s0b", "fixedq-s1", "singlectrl", "singlectrl-s1",
+         "auralnet", "auralnet-s1", "passive", "passive-s1",
+         "auditorium", "auditorium-s1", "auditorium-fixedq",
+         "auditorium-fixedq-s1", "spirit")
 
 
 def load(root="docs/protocol_r3"):
@@ -57,18 +59,34 @@ def main():
                 for k in ("sound_acc", "dist_acc")}
         gaps["aoa_deg"] = [b["aoa_mae_deg_masked"] - a["aoa_mae_deg_masked"]
                            for a, b in pairs]
+        flag = [m[k] for k in ("flagship-s0", "flagship-s1", "flagship-s2")
+                if k in m]
         seed_noise = {
-            "sound_acc": abs(m["flagship-s0"]["sound_acc"]
-                             - m["flagship-s1"]["sound_acc"]),
-            "dist_acc": abs(m["flagship-s0"]["dist_acc"]
-                            - m["flagship-s1"]["dist_acc"]),
-            "aoa_deg": abs(m["flagship-s0"]["aoa_mae_deg_masked"]
-                           - m["flagship-s1"]["aoa_mae_deg_masked"]),
+            "sound_acc": max(f["sound_acc"] for f in flag)
+                         - min(f["sound_acc"] for f in flag),
+            "dist_acc": max(f["dist_acc"] for f in flag)
+                        - min(f["dist_acc"] for f in flag),
+            "aoa_deg": max(f["aoa_mae_deg_masked"] for f in flag)
+                       - min(f["aoa_mae_deg_masked"] for f in flag),
         }
-        print("\nadaptive-vs-fixed-Q gap (per seed) vs flagship seed spread:")
+        print(f"\nadaptive-vs-fixed-Q gap (per seed) vs flagship "
+              f"{len(flag)}-seed spread:")
         for k, g in gaps.items():
             print(f"  {k}: gaps {['%.4f' % x for x in g]}, "
                   f"flagship seed spread {seed_noise[k]:.4f}")
+
+    # reverberant-scene ablation (fleet F): adaptive vs fixed-Q under
+    # Auditorium3 BRIRs
+    rpairs = [(m.get("auditorium"), m.get("auditorium-fixedq")),
+              (m.get("auditorium-s1"), m.get("auditorium-fixedq-s1"))]
+    rpairs = [(a, b) for a, b in rpairs if a and b]
+    if rpairs:
+        print("\nreverberant (Auditorium3) adaptive-vs-fixed-Q gap:")
+        for k in ("sound_acc", "dist_acc"):
+            print(f"  {k}: gaps "
+                  f"{['%.4f' % (a[k] - b[k]) for a, b in rpairs]}")
+        print(f"  aoa_deg: gaps "
+              f"{['%.4f' % (b['aoa_mae_deg_masked'] - a['aoa_mae_deg_masked']) for a, b in rpairs]}")
 
 
 if __name__ == "__main__":
