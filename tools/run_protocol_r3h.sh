@@ -1,0 +1,78 @@
+#!/usr/bin/env bash
+# Round-3 fleet H: closing seeds — a third anechoic fixed-Q seed (the
+# adaptive-vs-fixed gap becomes a 3-seed-vs-3-seed claim) and the Spirit
+# scene's fixed-Q arm (completes the ablation across all three scenes).
+# Afterwards: the serving-latency benchmark (tools/bench_latency.py),
+# which needs the tunnel to itself. Same resilient pattern as
+# run_protocol_r3c.sh.
+set -u
+cd "$(dirname "$0")/.."
+ROOT=${1:-runs_protocol_r3}
+LOG=${ROOT}/fleet.log
+DEST=docs/protocol_r3
+mkdir -p "$ROOT" "$DEST"
+POOL=2000
+SNR="5,25"
+COMMON=(--corpus speech --pool-size $POOL --noise-snr "$SNR"
+        --fb-w-dtype bfloat16 --runs-root "$ROOT")
+
+say() { echo "=== $(date -u +%H:%M:%S) $*" >> "$LOG"; }
+
+wait_tunnel() {
+  while true; do
+    if timeout 240 python -c "
+import jax, jax.numpy as jnp
+d = jax.devices(); assert d
+x = jax.device_put(jnp.ones((8, 8)))
+assert float(jax.device_get(jnp.sum(x * 3.0))) == 192.0
+" >> "$LOG" 2>&1; then return 0; fi
+    say "tunnel down; re-probe in 120s"
+    sleep 120
+  done
+}
+
+find_run() {
+  local hit=""
+  for d in "$ROOT"/*_"$1"; do
+    [ -d "$d" ] && hit="$d"
+  done
+  echo "$hit"
+}
+
+run_target() {
+  local label=$1 comments=$2; shift 2
+  if [ -f "$DEST/$label/evaluate_biear_metrics_test2.json" ]; then
+    say "SKIP $label (already archived)"
+    return 0
+  fi
+  local attempt
+  for attempt in 1 2 3 4 5 6; do
+    wait_tunnel
+    local rd; rd=$(find_run "$comments")
+    local args=("$@" --seed "${SEED:-0}" --comments "$comments" "${COMMON[@]}")
+    if [ -n "$rd" ] && [ -d "$rd/checkpoints" ]; then
+      args+=(--resume "$rd")
+    fi
+    say "START $label attempt $attempt: ${args[*]}"
+    timeout 5400 python tools/run_full_protocol.py "${args[@]}" >> "$LOG" 2>&1
+    say "EXIT $? $label attempt $attempt"
+    rd=$(find_run "$comments")
+    if [ -n "$rd" ] && [ -f "$rd/evaluate_biear_metrics_test2.json" ]; then
+      python tools/archive_protocol_run.py "$rd" "$label" --dest "$DEST" >> "$LOG" 2>&1
+      say "DONE $label -> $DEST/$label"
+      return 0
+    fi
+  done
+  say "GIVE-UP $label after 6 attempts"
+  return 1
+}
+
+SEED=2 run_target fixedq-s2    r3-fixedq-s2    --config conf/config.yaml --fixed-q
+SEED=0 run_target spirit-fixedq r3-spirit-fixedq --config conf/config_spirit.yaml --scene spirit --fixed-q
+
+# serving latency: single-request inference p50/p95 (needs a quiet tunnel)
+wait_tunnel
+say "START bench_latency"
+timeout 3000 python tools/bench_latency.py --json docs/serving_latency.json >> "$LOG" 2>&1
+say "EXIT $? bench_latency"
+say "FLEET-H DONE"
