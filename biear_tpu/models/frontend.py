@@ -167,6 +167,39 @@ def _finite_reset(Q, h, Q0):
 
 # ---------------- adaptive monaural scan (dual-mode building block) ----------------
 
+def adaptive_step(p_ctrl, cfg: BiEARConfig, carry, xmag, xre, xim,
+                  key=None, train: bool = False):
+    """ONE frame of the adaptive-Q feedback loop. carry = (Q, h), spectra
+    (B, F). Returns ((Qn, hn), (Y, Q, phase)) for this frame.
+
+    This is the exact scan-step body of adaptive_scan, exposed so the
+    streaming inference path (serve/streaming.py) runs the identical code
+    frame-by-frame — any numerics change here changes both paths together.
+    """
+    c = frontend_constants(cfg)
+    Q, h = carry
+
+    Y, Zre, Zim = filterbank_apply(Q, c["fc"], c["f_fft"],
+                                   xmag, xre, xim, w_dtype=_wdt(cfg),
+                                   vjp=cfg.fb_vjp, x_grad=cfg.fb_x_grad)
+    phase = band_phase(Zre, Zim)
+    out = (Y, Q, phase)
+
+    if cfg.freeze_q:
+        Q_init = jnp.broadcast_to(jnp.asarray(c["Q0"])[None], Q.shape)
+        return (Q_init, jnp.zeros_like(h)), out
+
+    Y_ctrl = jnp.log1p(jnp.maximum(Y, 0.0))
+    # Dual-mode quirk: the EMA buffer is re-created every frame, so the
+    # "memory" input is just 0.2 * sg(Y_ctrl) (model_torch.py:355-358).
+    Y_mem = 0.2 * jax.lax.stop_gradient(Y_ctrl)
+    feat = jnp.concatenate([Y_ctrl, Y_mem], axis=-1)
+    delta, h = controller_step(p_ctrl, cfg, h, feat, key, train)
+    Qn = _next_q(cfg, c, delta)
+    Qn, h = _finite_reset(Qn, h, c["Q0"][None])
+    return (Qn, h), out
+
+
 def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
     """Monaural adaptive-Q filterbank over T frames.
 
@@ -186,27 +219,8 @@ def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
         step_keys = jnp.zeros((T, 2), jnp.uint32)
 
     def step(carry, xs):
-        Q, h = carry
         xmag, xre, xim, key = xs
-
-        Y, Zre, Zim = filterbank_apply(Q, c["fc"], c["f_fft"],
-                                       xmag, xre, xim, w_dtype=_wdt(cfg),
-                                       vjp=cfg.fb_vjp, x_grad=cfg.fb_x_grad)
-        phase = band_phase(Zre, Zim)
-        out = (Y, Q, phase)
-
-        if cfg.freeze_q:
-            return (Q_init, jnp.zeros_like(h)), out
-
-        Y_ctrl = jnp.log1p(jnp.maximum(Y, 0.0))
-        # Dual-mode quirk: the EMA buffer is re-created every frame, so the
-        # "memory" input is just 0.2 * sg(Y_ctrl) (model_torch.py:355-358).
-        Y_mem = 0.2 * jax.lax.stop_gradient(Y_ctrl)
-        feat = jnp.concatenate([Y_ctrl, Y_mem], axis=-1)
-        delta, h = controller_step(p_ctrl, cfg, h, feat, key, train)
-        Qn = _next_q(cfg, c, delta)
-        Qn, h = _finite_reset(Qn, h, c["Q0"][None])
-        return (Qn, h), out
+        return adaptive_step(p_ctrl, cfg, carry, xmag, xre, xim, key, train)
 
     xs = (jnp.swapaxes(Xmag, 0, 1), jnp.swapaxes(Xre, 0, 1),
           jnp.swapaxes(Xim, 0, 1), step_keys)
@@ -296,6 +310,45 @@ def single_frontend_init(key, cfg: BiEARConfig):
     return {"ctrl": controller_init(key, cfg, 4 * cfg.n_bands)}
 
 
+def single_step(p_ctrl, cfg: BiEARConfig, carry, xsL, xsR,
+                key=None, train: bool = False):
+    """ONE frame of the single-controller loop. carry = (Q, h, memL, memR);
+    xsL / xsR = (xmag, xre, xim) per ear, each (B, F). Returns
+    (carry', (YL, YR, Q, phaseL, phaseR)) for this frame.
+
+    Exact scan-step body of single_frontend, exposed for the streaming
+    inference path (serve/streaming.py) — including the PERSISTENT
+    beta=0.8 EMA memories (model_torch.py:746-769)."""
+    c = frontend_constants(cfg)
+    beta = 0.8
+    Q, h, memL, memR = carry
+    xmL, xrL, xiL = xsL
+    xmR, xrR, xiR = xsR
+
+    YL, ZreL, ZimL = filterbank_apply(Q, c["fc"], c["f_fft"],
+                                      xmL, xrL, xiL, w_dtype=_wdt(cfg),
+                                      vjp=cfg.fb_vjp, x_grad=cfg.fb_x_grad)
+    YR, ZreR, ZimR = filterbank_apply(Q, c["fc"], c["f_fft"],
+                                      xmR, xrR, xiR, w_dtype=_wdt(cfg),
+                                      vjp=cfg.fb_vjp, x_grad=cfg.fb_x_grad)
+    out = (YL, YR, Q, band_phase(ZreL, ZimL), band_phase(ZreR, ZimR))
+
+    if cfg.freeze_q:
+        Q_init = jnp.broadcast_to(jnp.asarray(c["Q0"])[None], Q.shape)
+        return (Q_init, jnp.zeros_like(h),
+                jnp.zeros_like(memL), jnp.zeros_like(memR)), out
+
+    YL_ctrl = jnp.log1p(jnp.maximum(YL, 0.0))
+    YR_ctrl = jnp.log1p(jnp.maximum(YR, 0.0))
+    feat = jnp.concatenate([YL_ctrl, memL, YR_ctrl, memR], axis=-1)
+    delta, h = controller_step(p_ctrl, cfg, h, feat, key, train)
+    Qn = _next_q(cfg, c, delta)
+    Qn, h = _finite_reset(Qn, h, c["Q0"][None])
+    memL = beta * memL + (1.0 - beta) * jax.lax.stop_gradient(YL_ctrl)
+    memR = beta * memR + (1.0 - beta) * jax.lax.stop_gradient(YR_ctrl)
+    return (Qn, h, memL, memR), out
+
+
 def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
     """One shared controller drives the same Q for both ears.
 
@@ -313,7 +366,6 @@ def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
     p_ctrl = params["ctrl"]
     B = wavL.shape[0]
     T = cfg.timesteps
-    beta = 0.8
     Q_init = jnp.broadcast_to(c["Q0"][None], (B, cfg.n_bands))
     carry0 = (Q_init,
               jnp.zeros((B, cfg.ctrl_hidden), XmagL.dtype),
@@ -326,30 +378,9 @@ def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
         step_keys = jnp.zeros((T, 2), jnp.uint32)
 
     def step(carry, xs):
-        Q, h, memL, memR = carry
         xmL, xrL, xiL, xmR, xrR, xiR, key = xs
-
-        YL, ZreL, ZimL = filterbank_apply(Q, c["fc"], c["f_fft"],
-                                          xmL, xrL, xiL, w_dtype=_wdt(cfg),
-                                          vjp=cfg.fb_vjp, x_grad=cfg.fb_x_grad)
-        YR, ZreR, ZimR = filterbank_apply(Q, c["fc"], c["f_fft"],
-                                          xmR, xrR, xiR, w_dtype=_wdt(cfg),
-                                          vjp=cfg.fb_vjp, x_grad=cfg.fb_x_grad)
-        out = (YL, YR, Q, band_phase(ZreL, ZimL), band_phase(ZreR, ZimR))
-
-        if cfg.freeze_q:
-            return (Q_init, jnp.zeros_like(h),
-                    jnp.zeros_like(memL), jnp.zeros_like(memR)), out
-
-        YL_ctrl = jnp.log1p(jnp.maximum(YL, 0.0))
-        YR_ctrl = jnp.log1p(jnp.maximum(YR, 0.0))
-        feat = jnp.concatenate([YL_ctrl, memL, YR_ctrl, memR], axis=-1)
-        delta, h = controller_step(p_ctrl, cfg, h, feat, key, train)
-        Qn = _next_q(cfg, c, delta)
-        Qn, h = _finite_reset(Qn, h, c["Q0"][None])
-        memL = beta * memL + (1.0 - beta) * jax.lax.stop_gradient(YL_ctrl)
-        memR = beta * memR + (1.0 - beta) * jax.lax.stop_gradient(YR_ctrl)
-        return (Qn, h, memL, memR), out
+        return single_step(p_ctrl, cfg, carry, (xmL, xrL, xiL),
+                           (xmR, xrR, xiR), key, train)
 
     sw = lambda a: jnp.swapaxes(a, 0, 1)
     xs = (sw(XmagL), sw(XreL), sw(XimL), sw(XmagR), sw(XreR), sw(XimR), step_keys)

@@ -1,0 +1,147 @@
+"""Streaming inference equivalence: serve/streaming.py vs the batch forward.
+
+Contract under test (serve/streaming.py docstring): feeding a 1 s crop as
+cfg.timesteps hop-chunks (+ the residual tail samples at readout)
+reproduces active_forward(train=False) on the same crop. Frontend and
+encoder streaming is the identical code (frontend.adaptive_step /
+single_step ARE the scan bodies), so those paths match to float
+round-off; the CC feature's mean removal is an algebraic readout
+correction, so it carries a small tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from biear_tpu.models import BiEARConfig
+from biear_tpu.models.biear import active_forward, init_active
+from biear_tpu.ops.xcorr import cross_correlation_feature
+from biear_tpu.serve import (stream_apply, stream_init, stream_plan,
+                             stream_readout, stream_step)
+
+FS = 16000
+
+
+def _wavs(rng, B):
+    # Band-limited-ish signals with ear correlation so CC/ILD/IPD are all
+    # non-degenerate.
+    t = np.arange(FS) / FS
+    base = rng.standard_normal((B, FS)).astype(np.float32)
+    tone = np.sin(2 * np.pi * 700.0 * t)[None].astype(np.float32)
+    wavL = 0.3 * base + tone * rng.uniform(0.2, 1.0, (B, 1)).astype(np.float32)
+    wavR = 0.3 * np.roll(base, 7, axis=1) + 0.8 * np.roll(tone, 11, axis=1)
+    return jnp.asarray(wavL), jnp.asarray(wavR)
+
+
+def _batch_x3(wavL, wavR):
+    return cross_correlation_feature(wavL, wavR, FS, use_kernel=False)
+
+
+def _assert_match(stream_out, batch_out, atol):
+    names = ("sound_logits", "aoa", "dist_logits")
+    for name, s, b in zip(names, stream_out, batch_out):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(b),
+                                   atol=atol, rtol=0, err_msg=name)
+
+
+@pytest.mark.parametrize("mode,fixed", [("dual", False), ("single", False),
+                                        ("dual", True)])
+def test_stream_matches_batch(mode, fixed):
+    cfg = BiEARConfig(controller_mode=mode, fixed_frontend_q=fixed,
+                      use_cc=True, deltaQ_mode="relative", deltaQ_base=1.0,
+                      deltaQ_low_factor=0.3, deltaQ_high_factor=5.0)
+    key = jax.random.PRNGKey(3)
+    params = init_active(key, cfg)
+    # Perturb the zero-init controller output layer so Q actually moves
+    # and the streamed feedback loop is exercised (not just Q == Q0).
+    if not fixed:
+        leaf = ["bifb", "fb" if mode == "dual" else "ctrl"]
+        p = params
+        for k in leaf:
+            p = p[k]
+        p["q_out"]["l3"]["w"] = 0.25 * jax.random.normal(
+            jax.random.PRNGKey(7), p["q_out"]["l3"]["w"].shape)
+
+    wavL, wavR = _wavs(np.random.default_rng(11), B=3)
+    x3 = _batch_x3(wavL, wavR)
+    batch_out = active_forward(params, cfg, wavL, wavR, x3)[:3]
+    stream_out = stream_apply(params, cfg, wavL, wavR)
+    # The only tolerance-level divergence is x3's accumulation order.
+    _assert_match(stream_out, batch_out, atol=2e-4)
+
+
+def test_stream_step_by_step_no_cc_is_exact():
+    """Without the CC feature every streamed op is the literal batch op,
+    so the agreement must be at float32 round-off, not just tolerance."""
+    cfg = BiEARConfig(controller_mode="dual", use_cc=False)
+    params = init_active(jax.random.PRNGKey(0), cfg)
+    wavL, wavR = _wavs(np.random.default_rng(5), B=2)
+    batch_out = active_forward(params, cfg, wavL, wavR)[:3]
+
+    plan = stream_plan(cfg)
+    hop, T = plan["hop"], cfg.timesteps
+    state = stream_init(params, cfg, batch=2)
+    step = jax.jit(stream_step, static_argnums=1)
+    for t in range(T):
+        sl = slice(t * hop, (t + 1) * hop)
+        state = step(params, cfg, state, wavL[:, sl], wavR[:, sl])
+    stream_out = stream_readout(params, cfg, state)
+    _assert_match(stream_out, batch_out, atol=2e-6)
+
+
+def test_stream_cc_matches_batch_feature():
+    """The incremental CC accumulator + mean-removal correction vs the
+    batch cross_correlation_feature, on its own."""
+    from biear_tpu.serve.streaming import _cc_accumulate, _cc_readout
+
+    cfg = BiEARConfig()
+    plan = stream_plan(cfg)
+    rng = np.random.default_rng(2)
+    wavL, wavR = _wavs(rng, B=4)
+    # Nonzero means make the mean-removal correction do real work.
+    wavL = wavL + 0.37
+    wavR = wavR - 0.21
+
+    ref = np.asarray(_batch_x3(wavL, wavR))
+
+    B, K = 4, plan["K"]
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    cc = {"raw": z(B, 2 * K + 1), "n": jnp.zeros((), jnp.int32),
+          "sumL": z(B), "sumR": z(B), "headL": z(B, K), "headR": z(B, K),
+          "tailL": z(B, K), "tailR": z(B, K)}
+    # Deliberately uneven chunking (independent of the frame hop): the
+    # accumulator must not care how the sample stream is sliced.
+    edges = [0, 842, 3000, 3100, 9000, 15998, 16000]
+    for a, b in zip(edges[:-1], edges[1:]):
+        cc = _cc_accumulate(cc, wavL[:, a:b], wavR[:, a:b], K)
+    got = np.asarray(_cc_readout(cc, plan))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=0)
+
+
+def test_stream_readout_is_anytime():
+    """Readout after t < T frames is well-formed (finite, right shapes) —
+    the anytime-belief property a streaming deployment relies on."""
+    cfg = BiEARConfig(controller_mode="dual", use_cc=True)
+    params = init_active(jax.random.PRNGKey(1), cfg)
+    plan = stream_plan(cfg)
+    hop = plan["hop"]
+    wavL, wavR = _wavs(np.random.default_rng(9), B=2)
+
+    state = stream_init(params, cfg, batch=2)
+    for t in range(3):
+        sl = slice(t * hop, (t + 1) * hop)
+        state = stream_step(params, cfg, state, wavL[:, sl], wavR[:, sl])
+    sound, aoa, dist = stream_readout(params, cfg, state)
+    assert sound.shape == (2, cfg.n_sectors)
+    assert aoa.shape == (2, cfg.n_sectors)
+    assert dist.shape == (2, cfg.n_sectors, cfg.n_dist_class)
+    for x in (sound, aoa, dist):
+        assert bool(jnp.all(jnp.isfinite(x)))
+    assert int(state["t"]) == 3
+
+
+def test_stream_rejects_overlapping_frames():
+    with pytest.raises(NotImplementedError):
+        stream_plan(BiEARConfig(hop_ratio=0.5))
