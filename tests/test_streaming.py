@@ -145,3 +145,46 @@ def test_stream_readout_is_anytime():
 def test_stream_rejects_overlapping_frames():
     with pytest.raises(NotImplementedError):
         stream_plan(BiEARConfig(hop_ratio=0.5))
+
+
+def test_stream_step_sharded_over_streams():
+    """Serving scale-out: the batch axis IS the concurrent-streams axis,
+    so sharding the stream state + chunks over a device mesh must give
+    the single-device result (the streaming path is pure XLA — no Pallas
+    — so it partitions; cf. ops/window_gather's SPMD fallback note)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg = BiEARConfig(controller_mode="dual", use_cc=True)
+    params = init_active(jax.random.PRNGKey(0), cfg)
+    plan = stream_plan(cfg)
+    hop = plan["hop"]
+    B = 8
+    wavL, wavR = _wavs(np.random.default_rng(3), B=B)
+
+    state = stream_init(params, cfg, B)
+    ref_state = stream_step(params, cfg, state, wavL[:, :hop], wavR[:, :hop])
+    ref = stream_readout(params, cfg, ref_state)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    # Frontend carries: dual mode stacks the ear axis first, encoders and
+    # CC lead with the stream axis.
+    def shard_spec(path, leaf):
+        del path
+        if leaf.ndim == 0:
+            return NamedSharding(mesh, P())
+        if leaf.ndim >= 2 and leaf.shape[0] == 2 and leaf.shape[1] == B:
+            return NamedSharding(mesh, P(None, "data"))
+        if leaf.shape[0] == B:
+            return NamedSharding(mesh, P("data"))
+        return NamedSharding(mesh, P())
+
+    specs = jax.tree_util.tree_map_with_path(shard_spec, state)
+    state_sh = jax.tree.map(jax.device_put, state, specs)
+    csh = NamedSharding(mesh, P("data"))
+    out_state = jax.jit(stream_step, static_argnums=1)(
+        params, cfg, state_sh, jax.device_put(wavL[:, :hop], csh),
+        jax.device_put(wavR[:, :hop], csh))
+    got = stream_readout(params, cfg, out_state)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-5, rtol=0)
