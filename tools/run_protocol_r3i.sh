@@ -1,0 +1,80 @@
+#!/usr/bin/env bash
+# Round-3 fleet I: catch-up for the arms whose fleets (G/H) were queued
+# but never executed before the session ended — the PASSIVE family at
+# full reference scale (completes the five-family protocol matrix), the
+# Spirit fixed-Q ablation arm, a third anechoic fixed-Q seed, and the
+# serving-latency benchmark. Same resilient pattern as
+# run_protocol_r3c.sh (tunnel probe + resume + archive); priority order
+# = scientific value per minute of chip time.
+set -u
+cd "$(dirname "$0")/.."
+ROOT=${1:-runs_protocol_r3}
+LOG=${ROOT}/fleet.log
+DEST=docs/protocol_r3
+mkdir -p "$ROOT" "$DEST"
+POOL=2000
+SNR="5,25"
+COMMON=(--corpus speech --pool-size $POOL --noise-snr "$SNR"
+        --runs-root "$ROOT")
+
+say() { echo "=== $(date -u +%H:%M:%S) $*" >> "$LOG"; }
+
+wait_tunnel() {
+  while true; do
+    if timeout 240 python -c "
+import jax, jax.numpy as jnp
+d = jax.devices(); assert d
+x = jax.device_put(jnp.ones((8, 8)))
+assert float(jax.device_get(jnp.sum(x * 3.0))) == 192.0
+" >> "$LOG" 2>&1; then return 0; fi
+    say "tunnel down; re-probe in 120s"
+    sleep 120
+  done
+}
+
+find_run() {
+  local hit=""
+  for d in "$ROOT"/*_"$1"; do
+    [ -d "$d" ] && hit="$d"
+  done
+  echo "$hit"
+}
+
+run_target() {
+  local label=$1 comments=$2; shift 2
+  if [ -f "$DEST/$label/evaluate_biear_metrics_test2.json" ]; then
+    say "SKIP $label (already archived)"
+    return 0
+  fi
+  local attempt
+  for attempt in 1 2 3 4; do
+    wait_tunnel
+    local rd; rd=$(find_run "$comments")
+    local args=("$@" --seed "${SEED:-0}" --comments "$comments" "${COMMON[@]}")
+    if [ -n "$rd" ] && [ -d "$rd/checkpoints" ]; then
+      args+=(--resume "$rd")
+    fi
+    say "START $label attempt $attempt: ${args[*]}"
+    timeout 5400 python tools/run_full_protocol.py "${args[@]}" >> "$LOG" 2>&1
+    say "EXIT $? $label attempt $attempt"
+    rd=$(find_run "$comments")
+    if [ -n "$rd" ] && [ -f "$rd/evaluate_biear_metrics_test2.json" ]; then
+      python tools/archive_protocol_run.py "$rd" "$label" --dest "$DEST" >> "$LOG" 2>&1
+      say "DONE $label -> $DEST/$label"
+      return 0
+    fi
+  done
+  say "GIVE-UP $label after 4 attempts"
+  return 1
+}
+
+SEED=0 run_target passive       r3i-passive       --config conf/config_passive.yaml
+SEED=1 run_target passive-s1    r3i-passive-s1    --config conf/config_passive.yaml
+SEED=0 run_target spirit-fixedq r3i-spirit-fixedq --config conf/config_spirit.yaml --scene spirit --fixed-q --fb-w-dtype bfloat16
+SEED=2 run_target fixedq-s2     r3i-fixedq-s2     --config conf/config.yaml --fixed-q --fb-w-dtype bfloat16
+
+wait_tunnel
+say "START bench_latency"
+timeout 3000 python tools/bench_latency.py --json docs/serving_latency.json >> "$LOG" 2>&1
+say "EXIT $? bench_latency"
+say "FLEET-I DONE"
