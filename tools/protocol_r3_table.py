@@ -13,10 +13,11 @@ import json
 import os
 
 ORDER = ("flagship-s0", "flagship-s1", "flagship-s2", "fixedq-s0",
-         "fixedq-s0b", "fixedq-s1", "singlectrl", "singlectrl-s1",
-         "auralnet", "auralnet-s1", "passive", "passive-s1",
-         "auditorium", "auditorium-s1", "auditorium-fixedq",
-         "auditorium-fixedq-s1", "spirit")
+         "fixedq-s0b", "fixedq-s1", "fixedq-s2", "singlectrl",
+         "singlectrl-s1", "auralnet", "auralnet-s1", "passive",
+         "passive-s1", "auditorium", "auditorium-s1",
+         "auditorium-fixedq", "auditorium-fixedq-s1", "spirit",
+         "spirit-fixedq")
 
 
 def load(root="docs/protocol_r3"):
