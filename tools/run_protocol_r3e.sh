@@ -48,7 +48,7 @@ run_target() {
     wait_tunnel
     local rd; rd=$(find_run "$comments")
     local args=("$@" --seed "${SEED:-0}" --comments "$comments" "${COMMON[@]}")
-    if [ -n "$rd" ] && [ -d "$rd/checkpoints" ]; then
+    if [ -n "$rd" ] && [ -d "$rd/checkpoints/last" ]; then
       args+=(--resume "$rd")
     fi
     say "START $label attempt $attempt: ${args[*]}"

@@ -47,11 +47,11 @@ run_target() {
     return 0
   fi
   local attempt
-  for attempt in 1 2 3 4; do
+  for attempt in 1 2 3 4 5 6; do
     wait_tunnel
     local rd; rd=$(find_run "$comments")
     local args=("$@" --seed "${SEED:-0}" --comments "$comments" "${COMMON[@]}")
-    if [ -n "$rd" ] && [ -d "$rd/checkpoints" ]; then
+    if [ -n "$rd" ] && [ -d "$rd/checkpoints/last" ]; then
       args+=(--resume "$rd")
     fi
     say "START $label attempt $attempt: ${args[*]}"
@@ -73,8 +73,12 @@ SEED=1 run_target passive-s1    r3i-passive-s1    --config conf/config_passive.y
 SEED=0 run_target spirit-fixedq r3i-spirit-fixedq --config conf/config_spirit.yaml --scene spirit --fixed-q --fb-w-dtype bfloat16
 SEED=2 run_target fixedq-s2     r3i-fixedq-s2     --config conf/config.yaml --fixed-q --fb-w-dtype bfloat16
 
-wait_tunnel
-say "START bench_latency"
-timeout 3000 python tools/bench_latency.py --json docs/serving_latency.json >> "$LOG" 2>&1
-say "EXIT $? bench_latency"
+if [ -f docs/serving_latency.json ]; then
+  say "SKIP bench_latency (docs/serving_latency.json already exists)"
+else
+  wait_tunnel
+  say "START bench_latency"
+  timeout 3000 python tools/bench_latency.py --json docs/serving_latency.json >> "$LOG" 2>&1
+  say "EXIT $? bench_latency"
+fi
 say "FLEET-I DONE"

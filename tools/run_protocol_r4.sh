@@ -1,12 +1,14 @@
 #!/usr/bin/env bash
-# Round-3 fleet G: the PASSIVE family at full reference scale on the
-# speech+noise corpus — completes the five-family protocol matrix
-# (flagship / single-ctrl / fixed-Q / AuralNet / passive). The passive
-# model (DeepEarTorchILD, model_torch.py:938-960) trains through
-# data/passive_synth.py: the reference's offline H5 feature precompute
-# (create_h5_data/data_save.py:122-164) computed on-device inside the
-# fused train chunk — no offline stage. Same resilient pattern as
-# run_protocol_r3c.sh (tunnel probe + resume + archive).
+# Round-4 fleet J: second seeds for the Spirit scene so the largest
+# reported adaptive-vs-fixed gap (99.2% vs 95.7% sound_acc) meets the
+# same 2+ seed replication standard as every other arm in the table.
+# Carries the round-3 advisor fixes:
+#   * resume guard tests the actual resumable artifact
+#     (checkpoints/last, written after epoch 1) instead of the
+#     eagerly-created checkpoints/ dir, so a run that dies mid-epoch-1
+#     retries from scratch rather than GIVE-UPing on a bad --resume;
+#   * 6 attempts (resume makes extra attempts cheap);
+#   * bench steps skip when their archived JSON already exists.
 set -u
 cd "$(dirname "$0")/.."
 ROOT=${1:-runs_protocol_r3}
@@ -52,6 +54,9 @@ run_target() {
     wait_tunnel
     local rd; rd=$(find_run "$comments")
     local args=("$@" --seed "${SEED:-0}" --comments "$comments" "${COMMON[@]}")
+    # Resume only when the resumable artifact itself exists: the runner
+    # requires checkpoints/last (first written after epoch 1); the bare
+    # checkpoints/ dir is created eagerly at run start and proves nothing.
     if [ -n "$rd" ] && [ -d "$rd/checkpoints/last" ]; then
       args+=(--resume "$rd")
     fi
@@ -69,6 +74,6 @@ run_target() {
   return 1
 }
 
-SEED=0 run_target passive    r3-passive    --config conf/config_passive.yaml
-SEED=1 run_target passive-s1 r3-passive-s1 --config conf/config_passive.yaml
-say "FLEET-G DONE"
+SEED=1 run_target spirit-s1        r4-spirit-s1        --config conf/config_spirit.yaml --scene spirit
+SEED=1 run_target spirit-fixedq-s1 r4-spirit-fixedq-s1 --config conf/config_spirit.yaml --scene spirit --fixed-q --fb-w-dtype bfloat16
+say "FLEET-J DONE"
