@@ -14,6 +14,8 @@ TPU-specific extensions are OPTIONAL keys with defaults (never required):
                            anechoic synthesizer
   PRELOAD_H5               RAM-preload the H5 splits (default true)
   TIMESTEPS / N_FFT / N_BANDS  signal geometry overrides
+  DATA_FORMAT / SHARD_ROOT h5 (default) or native mmap shards
+                           (tools/h5_to_shard.py + data/native_loader.py)
 """
 
 from __future__ import annotations
@@ -57,6 +59,8 @@ class RunConfig:
     preload_h5: bool = True
     model_kind: str = "active"      # active | passive | auralnet
     matmul_precision: str = "default"
+    data_format: str = "h5"         # h5 | shard (native mmap loader)
+    shard_root: str = ""            # shard dir; defaults to ROOT
     raw: dict = dataclasses.field(default_factory=dict)
 
 
@@ -78,6 +82,16 @@ def _fb_vjp(v) -> str:
     if s not in ("auto", "custom", "autodiff"):
         raise ValueError(f"FB_VJP must be 'auto', 'custom' or 'autodiff', "
                          f"got {v!r}")
+    return s
+
+
+def _data_format(v) -> str:
+    """Validate DATA_FORMAT eagerly. 'h5' reads the reference H5 schema;
+    'shard' reads the native mmap shards (data/native_loader.py) written by
+    tools/h5_to_shard.py — the production home of the C++ gather core."""
+    s = str(v).lower()
+    if s not in ("h5", "shard"):
+        raise ValueError(f"DATA_FORMAT must be 'h5' or 'shard', got {v!r}")
     return s
 
 
@@ -145,6 +159,8 @@ def load_run_config(path: str) -> RunConfig:
         preload_h5=bool(cfg.get("PRELOAD_H5", True)),
         model_kind=kind,
         matmul_precision=str(cfg.get("MATMUL_PRECISION", "default")).lower(),
+        data_format=_data_format(cfg.get("DATA_FORMAT", "h5")),
+        shard_root=str(cfg.get("SHARD_ROOT", "") or ""),
         raw=cfg,
     )
 
@@ -282,6 +298,20 @@ def h5_paths(rc: RunConfig) -> dict:
         "val": f"{rc.root}/anechoic_val_gt_group_phase.h5",
         "test": f"{rc.root}/anechoic_test2_gt_group_phase.h5",
     }
+
+
+def data_paths(rc: RunConfig) -> dict:
+    """Split -> file path under the configured DATA_FORMAT.
+
+    'h5' keeps the reference convention verbatim (h5_paths). 'shard' maps
+    the same basenames to `.shard` files under SHARD_ROOT (default: ROOT) —
+    produced by `tools/h5_to_shard.py <split>.h5 <split>.shard`."""
+    paths = h5_paths(rc)
+    if rc.data_format == "h5":
+        return paths
+    root = rc.shard_root or rc.root
+    return {k: os.path.join(root, os.path.basename(v)[:-3] + ".shard")
+            for k, v in paths.items()}
 
 
 def load_settings_near_checkpoint(ckpt_path: str) -> dict | None:

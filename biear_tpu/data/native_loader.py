@@ -112,6 +112,19 @@ class ShardDataset:
                        for i in range(self.n_fields)]
         self._dtypes = [int(self._lib.bl_field_dtype(self._h, i))
                         for i in range(self.n_fields)]
+        if shapes is not None:
+            if len(shapes) != self.n_fields:
+                raise ValueError(
+                    f"{path}: shard has {self.n_fields} fields but "
+                    f"{len(shapes)} shapes were given — wrong schema "
+                    f"(active is 4 fields, passive 6)?")
+            for i, shp in enumerate(shapes):
+                want = int(np.prod(shp, dtype=np.int64))
+                if want != self._elems[i]:
+                    raise ValueError(
+                        f"{path}: field {i} holds {self._elems[i]} elems "
+                        f"per row, but shape {tuple(shp)} needs {want} — "
+                        f"shard geometry does not match the run config")
         self.shapes = shapes
         self.n_threads = n_threads or min(4, os.cpu_count() or 1)
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import (RunConfig, make_exp_name, make_run_dirs, settings_dict,
-                      h5_paths)
+                      data_paths)
 from ..models.biear import init_active, init_passive
 from ..models.auralnet import init_auralnet
 from ..parallel.mesh import (make_mesh, batch_sharding, shard_params,
@@ -44,7 +44,20 @@ def _init_params(rc: RunConfig, key):
 
 
 def _open_datasets(rc: RunConfig):
-    paths = h5_paths(rc)
+    paths = data_paths(rc)
+    if rc.data_format == "shard":
+        # Native mmap shards (DATA_FORMAT: shard): the C++ gather core
+        # serves batches zero-copy off the page cache — no preload pass,
+        # int16 waveforms decode to f32 inside the gather. This is the
+        # TPU-host home of the reference's lazy SWMR DataLoader workers
+        # (data_save.py:282-286). Shapes restore the per-row geometry the
+        # flat shard format erases.
+        from ..data.native_loader import ShardDataset
+        m = rc.model_cfg
+        tb = (m.timesteps, m.n_bands)
+        shapes = ([(m.fs,), (m.fs,), (m.n_bands,), (56,)] if rc.active
+                  else [tb, tb, (m.n_bands,), tb, tb, (56,)])
+        return {k: ShardDataset(v, shapes=shapes) for k, v in paths.items()}
     DS = ActiveH5Dataset if rc.active else PassiveH5Dataset
     return {k: DS(v, preload=rc.preload_h5) for k, v in paths.items()}
 

@@ -77,3 +77,61 @@ def test_h5_to_shard_tool(tmp_path, rng):
     rows = ds.rows([2])
     np.testing.assert_allclose(rows[0][0], wav[2], atol=1.0 / 32000)
     np.testing.assert_array_equal(rows[3][0], y[2])
+
+def test_shape_validation_fails_loudly(shard):
+    p, *_ = shard
+    with pytest.raises(ValueError, match="wrong schema"):
+        ShardDataset(p, shapes=[(64,), (3, 5)])          # field count
+    with pytest.raises(ValueError, match="does not match"):
+        ShardDataset(p, shapes=[(64,), (3, 5), (8,)])    # per-row elems
+
+
+def test_data_paths_and_open_datasets(tmp_path, rng):
+    """DATA_FORMAT: shard routes the production runner onto ShardDataset."""
+    from biear_tpu.config import load_run_config, data_paths
+    from biear_tpu.train.runner import _open_datasets
+    rc = load_run_config("/root/repo/conf/config.yaml")
+    rc.root = str(tmp_path)
+    rc.data_format = "shard"
+    paths = data_paths(rc)
+    assert paths["train"].endswith("anechoic_train_active_wav.shard")
+    fs, bands = rc.model_cfg.fs, rc.model_cfg.n_bands
+    for p in paths.values():
+        write_shard(p, [rng.uniform(-1, 1, (3, fs)).astype(np.float32),
+                        rng.uniform(-1, 1, (3, fs)).astype(np.float32),
+                        rng.standard_normal((3, bands)).astype(np.float32),
+                        rng.standard_normal((3, 56)).astype(np.float32)],
+                    ["i16", "i16", "f32", "f32"])
+    ds = _open_datasets(rc)
+    assert set(ds) == {"train", "val", "test"}
+    assert isinstance(ds["train"], ShardDataset) and len(ds["train"]) == 3
+    rows = ds["train"].rows([0, 2])
+    assert rows[0].shape == (2, fs) and rows[3].shape == (2, 56)
+    # SHARD_ROOT overrides where the shards live
+    rc.shard_root = str(tmp_path / "elsewhere")
+    assert data_paths(rc)["val"].startswith(rc.shard_root)
+
+
+@pytest.mark.slow
+def test_train_runner_from_shards(tmp_path, rng):
+    """Full runner epoch loop fed by the native loader (datasets=None so
+    the production _open_datasets path resolves DATA_FORMAT: shard)."""
+    import json
+    from test_runner import _tiny_rc, _tiny_h5  # reuse the tiny fixtures
+    from biear_tpu.config import data_paths
+    from biear_tpu.train.runner import train
+
+    rc = _tiny_rc(tmp_path)
+    rc.data_format = "shard"
+    h5ds = _tiny_h5(tmp_path, rng, fs=rc.model_cfg.fs,
+                    bands=rc.model_cfg.n_bands)
+    names = {"train": "train", "val": "val", "test": "test"}
+    for split, p in data_paths(rc).items():
+        arrays = [a.copy() for a in h5ds[names[split]].rows(
+            np.arange(len(h5ds[names[split]])))]
+        write_shard(p, arrays, ["i16", "i16", "f32", "f32"])
+    out = train(rc, datasets=None, quiet=True, run_id="SHARD")
+    with open(f"{out['run_dir']}/logs_json/history.json") as f:
+        h = json.load(f)
+    assert len(h["train"]) == rc.epochs
+    assert np.isfinite(h["train"][-1]["loss"])
