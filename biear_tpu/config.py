@@ -228,7 +228,9 @@ def make_exp_name(rc: RunConfig, run_id: str | None = None) -> tuple[str, str]:
     return "_".join(parts), run_id
 
 
-def make_run_dirs(rc: RunConfig, exp_name: str) -> dict:
+def make_run_dirs(rc: RunConfig, exp_name: str, create: bool = True) -> dict:
+    """Run-tree paths; create=False computes them without touching disk
+    (non-main processes of a multi-process run must not write the tree)."""
     run_dir = os.path.join(rc.runs_root, exp_name)
     dirs = {
         "run": run_dir,
@@ -238,8 +240,9 @@ def make_run_dirs(rc: RunConfig, exp_name: str) -> dict:
         "q_vis": os.path.join(run_dir, "q_vis"),
         "meta": os.path.join(run_dir, "meta"),
     }
-    for d in dirs.values():
-        os.makedirs(d, exist_ok=True)
+    if create:
+        for d in dirs.values():
+            os.makedirs(d, exist_ok=True)
     return dirs
 
 

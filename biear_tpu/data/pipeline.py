@@ -31,17 +31,24 @@ def batch_iterator(ds, batch_size: int, *, shuffle: bool, seed: int = 0,
 
     With host_count > 1 each host sees a disjoint 1/host_count slice of
     every (globally-permuted) epoch — per-host input sharding for
-    multi-host data parallelism."""
+    multi-host data parallelism. Under pad_to_full every host then emits
+    the SAME number of batches (slices differ by up to one row, which can
+    differ by a whole batch after ceil-division): short hosts append
+    all-padding batches (weights 0), because in a multi-process run each
+    step is a collective — a host running one batch fewer would deadlock
+    the others at the epoch tail. Zero-weight batches contribute nothing
+    to losses or metrics (train/losses._batch_mean)."""
     n = len(ds)
     idx = np.arange(n)
     if shuffle:
         idx = np.random.default_rng(seed + epoch).permutation(n)
     idx = idx[host_id::host_count]
     end = (len(idx) // batch_size) * batch_size if drop_last else len(idx)
+    emitted = 0
     for s in range(0, end, batch_size):
         sel = idx[s:s + batch_size]
         if len(sel) == 0:
-            return
+            break
         if not pad_to_full:
             yield ds.rows(sel)
             continue
@@ -52,6 +59,15 @@ def batch_iterator(ds, batch_size: int, *, shuffle: bool, seed: int = 0,
         w = np.zeros(batch_size, np.float32)
         w[:n_valid] = 1.0
         yield (*ds.rows(sel), w)
+        emitted += 1
+    if pad_to_full and host_count > 1 and n > 0:
+        # host 0 always holds the longest slice: ceil(n / host_count)
+        global_batches = -(-(-(-n // host_count)) // batch_size)
+        while emitted < global_batches:
+            sel = np.broadcast_to(idx[:1] if len(idx) else np.zeros(1, np.int64),
+                                  (batch_size,)).copy()
+            yield (*ds.rows(sel), np.zeros(batch_size, np.float32))
+            emitted += 1
 
 
 class Prefetcher:
@@ -62,9 +78,14 @@ class Prefetcher:
 
     _DONE = object()
 
-    def __init__(self, it, sharding=None, depth: int = 2):
+    def __init__(self, it, sharding=None, depth: int = 2, assemble=None):
+        """assemble: optional callable(batch_tuple) -> device batch,
+        replacing the default device_put — multi-process runs pass a
+        make_array_from_process_local_data closure here so per-host
+        slices assemble into global arrays off the main thread."""
         self._q = queue_mod.Queue(maxsize=depth)
         self._sharding = sharding
+        self._assemble = assemble
         self._shard_div = (dict(sharding.mesh.shape).get("data", 1)
                            if sharding is not None else 1)
         self._stop = threading.Event()
@@ -73,6 +94,8 @@ class Prefetcher:
         self._thread.start()
 
     def _put_batch(self, batch):
+        if self._assemble is not None:
+            return self._assemble(batch)
         # A trailing partial batch may not divide the data axis; place it
         # replicated instead (the jitted step accepts any input layout).
         if (self._sharding is not None

@@ -37,12 +37,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+# Every top-level param-tree key any model family produces, and its
+# placement intent under model parallelism. A key outside this set is a
+# new subsystem nobody taught the partitioner about — with model_parallel
+# it must FAIL, not silently replicate (a replicated 'subheads2' would
+# compile and train at a fraction of the intended sharding).
+_MP_SHARDED_KEYS = {"subheads", "body"}
+_MP_REPLICATED_KEYS = {"encoder_ild", "encoder_ipd", "cc_proj", "bifb",
+                       "attn_L", "attn_R", "attn_diff"}
+
+
 def param_pspecs(params, model_parallel: bool):
     """PartitionSpec tree for a model param pytree.
 
     With model_parallel: sub-heads shard on their stacked head axis; body
     l1 is column-parallel (out dim), l2 row-parallel (in dim); everything
-    else replicates."""
+    else replicates. Unknown top-level keys raise under model_parallel
+    instead of replicating silently."""
 
     def rep(tree):
         return jax.tree.map(lambda _: P(), tree)
@@ -50,6 +61,13 @@ def param_pspecs(params, model_parallel: bool):
     specs = {k: rep(v) for k, v in params.items()}
     if not model_parallel:
         return specs
+    unknown = set(params) - _MP_SHARDED_KEYS - _MP_REPLICATED_KEYS
+    if unknown:
+        raise ValueError(
+            f"param_pspecs: unknown top-level param keys {sorted(unknown)} "
+            f"under model parallelism — add them to _MP_SHARDED_KEYS or "
+            f"_MP_REPLICATED_KEYS in parallel/mesh.py with an explicit "
+            f"placement decision")
     if "subheads" in params:
         specs["subheads"] = jax.tree.map(
             lambda a: P(*(("model",) + (None,) * (a.ndim - 1))),

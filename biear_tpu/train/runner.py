@@ -228,6 +228,19 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
     """
     say = (lambda *a: None) if quiet else print
 
+    # Multi-process discipline: exactly one process owns every host-side
+    # write (run tree, settings, logs, checkpoints, history, plots). The
+    # others compute the same paths for reading (shared-filesystem
+    # semantics, the standard multi-host layout) but never create or
+    # mutate them. Steps themselves are collective across processes.
+    is_main = jax.process_index() == 0
+    n_proc = jax.process_count()
+
+    def barrier(tag: str):
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(tag)
+
     from ..config import apply_matmul_precision
     apply_matmul_precision(rc.matmul_precision)
     if rc.matmul_precision != "default":
@@ -239,10 +252,14 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
         run_id = run_id or "resume"
     else:
         exp_name, run_id = make_exp_name(rc, run_id)
-    dirs = make_run_dirs(rc, exp_name)
-    with open(os.path.join(dirs["meta"], "settings.json"), "w") as f:
-        json.dump(settings_dict(rc, run_id, exp_name), f, indent=2)
-    logger = MetricLogger(dirs["logs_json"], dirs["tb"])
+    dirs = make_run_dirs(rc, exp_name, create=is_main)
+    if is_main:
+        with open(os.path.join(dirs["meta"], "settings.json"), "w") as f:
+            json.dump(settings_dict(rc, run_id, exp_name), f, indent=2)
+        logger = MetricLogger(dirs["logs_json"], dirs["tb"])
+    else:
+        from ..utils.logging import NullLogger
+        logger = NullLogger()
     say(f"[Run dir] {dirs['run']}")
 
     import math
@@ -255,6 +272,22 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
     mesh = make_mesh(data_axis, rc.mesh_model)
     bsh = batch_sharding(mesh)
     say(f"[Mesh] {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s)")
+
+    # Per-process input: BATCH_SIZE stays the GLOBAL batch (reference
+    # semantics); each process feeds its 1/n_proc slice and the slices
+    # assemble into one global jax.Array per step.
+    if rc.batch_size % n_proc:
+        raise ValueError(f"BATCH_SIZE {rc.batch_size} must divide evenly "
+                         f"over {n_proc} processes")
+    local_bs = rc.batch_size // n_proc
+
+    def to_global(batch):
+        """Per-host batch tuple -> global sharded device arrays."""
+        if n_proc == 1:
+            return tuple(jax.device_put(b, bsh) for b in batch)
+        return tuple(jax.make_array_from_process_local_data(
+            bsh, np.asarray(b), (b.shape[0] * n_proc,) + b.shape[1:])
+            for b in batch)
     if synth is not None and hasattr(synth, "set_output_sharding"):
         # the on-device sampler emits batches already sharded over 'data'
         # (no implicit reshard between synthesis and the train step)
@@ -324,9 +357,11 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
         # pad AND shard like run_split so the sanity pass shares the epoch
         # loop's one eval_step compilation (jit caches key on input
         # shardings as well as shapes/pytree structure)
-        it = batch_iterator(datasets["train"], rc.batch_size, shuffle=False,
-                            pad_to_full=True)
-        return tuple(jax.device_put(b, bsh) for b in next(it))
+        it = batch_iterator(datasets["train"], local_bs, shuffle=False,
+                            pad_to_full=True,
+                            host_id=jax.process_index(),
+                            host_count=n_proc)
+        return to_global(next(it))
 
     sb = first_batch()
     m = eval_step(params, sb)
@@ -416,12 +451,14 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
             # print — per-value float() pulls each pay the tunnel RTT.
             first_mark = -(-gs_before // rc.hist_every) * rc.hist_every
             marks = list(range(first_mark, global_step, rc.hist_every))
-            # print when the chunk crosses a print_every multiple — the
-            # same step grid as the per-step path, independent of chunk
-            # size (incl. a trailing sub-chunk changing c)
-            printing = (global_step // rc.print_every
-                        > gs_before // rc.print_every)
-            if marks or printing:
+            # print on the same PRINT_EVERY step grid as the per-step path,
+            # once per crossed mark with THAT step's row of the chunk stack
+            # (independent of chunk size, incl. a trailing sub-chunk) — a
+            # chunk crossing several marks prints several lines, like the
+            # per-step path would
+            first_pmark = -(-gs_before // rc.print_every) * rc.print_every
+            pmarks = list(range(first_pmark, global_step, rc.print_every))
+            if marks or pmarks:
                 hm = jax.device_get({k2: ms[k2] for k2 in
                                      ("loss", "sound_acc", "aoa_mae",
                                       "dist_acc", "grad_fb_norm",
@@ -435,12 +472,13 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
                 logger.histograms("grads",
                                   dict(zip(hist_names, hm["grad_hist"][row])),
                                   GRAD_HIST_EDGES, mark)
-            if printing:
-                say(f"[step {global_step:06d}] chunk/{c} "
-                    f"loss={hm['loss'].mean():.4f}"
-                    f" | sound_acc={hm['sound_acc'].mean():.3f}"
-                    f" | aoa_mae={hm['aoa_mae'].mean():.3f}"
-                    f" | dist_acc={hm['dist_acc'].mean():.3f}")
+            for mark in pmarks:
+                row = mark - gs_before
+                say(f"[step {mark:06d}] chunk/{c} "
+                    f"loss={hm['loss'][row]:.4f}"
+                    f" | sound_acc={hm['sound_acc'][row]:.3f}"
+                    f" | aoa_mae={hm['aoa_mae'][row]:.3f}"
+                    f" | dist_acc={hm['dist_acc'][row]:.3f}")
         out = _finalize(sums)
         out["sec"] = time.time() - t0
         logger.scalars(name, {k: v for k, v in out.items() if k != "sec"},
@@ -492,10 +530,11 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
             # ONE static shape per run (no tail-batch recompile).
             padded = True
             it = Prefetcher(batch_iterator(
-                datasets[name], rc.batch_size, shuffle=training,
+                datasets[name], local_bs, shuffle=training,
                 seed=seed, epoch=epoch, pad_to_full=True,
                 host_id=jax.process_index(),
-                host_count=jax.process_count()), sharding=bsh)
+                host_count=n_proc), sharding=bsh,
+                assemble=to_global if n_proc > 1 else None)
         t0 = time.time()
         try:
             for i, batch in enumerate(it):
@@ -556,6 +595,10 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
         lr_scale = sched.step(va["loss"])
         curr = (va["sound_acc"], va["aoa_mae"], va["dist_acc"])
         if all(np.isfinite(curr)) and is_better_tuple(curr, best_tuple):
+            # every process takes this branch together (metrics are
+            # replicated global values, identical on all ranks), because
+            # save_checkpoint is a COLLECTIVE — orbax writes files on the
+            # primary host only, but all ranks must join its barrier
             best_tuple = curr
             ckpt.save_checkpoint(os.path.join(dirs["checkpoints"], "best"),
                                  params, opt_state,
@@ -573,8 +616,10 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
              "best_tuple": list(best_tuple) if best_tuple else None,
              "sched": {"best": sched.best, "num_bad": sched.num_bad,
                        "scale": sched.scale}})
-        with open(os.path.join(dirs["logs_json"], "history.json"), "w") as f:
-            json.dump(history, f, indent=2)
+        if is_main:
+            with open(os.path.join(dirs["logs_json"], "history.json"),
+                      "w") as f:
+                json.dump(history, f, indent=2)
 
     ckpt.save_checkpoint(
         os.path.join(dirs["checkpoints"], "last"), params, opt_state,
@@ -583,10 +628,16 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
          "best_tuple": list(best_tuple) if best_tuple else None,
          "sched": {"best": sched.best, "num_bad": sched.num_bad,
                    "scale": sched.scale}})
-    with open(os.path.join(dirs["logs_json"], "history.json"), "w") as f:
-        json.dump(history, f, indent=2)
+    if is_main:
+        with open(os.path.join(dirs["logs_json"], "history.json"), "w") as f:
+            json.dump(history, f, indent=2)
 
     # ---- test with best params (train_biear.py:679-689) ----
+    # All processes restore best (shared filesystem); the barrier keeps a
+    # non-main rank from reading while main is still writing epoch N's
+    # checkpoints. Param state MUST stay rank-identical through the test
+    # pass — its steps are collectives.
+    barrier("pre-best-restore")
     best_dir = os.path.join(dirs["checkpoints"], "best")
     if os.path.isdir(best_dir):
         params, _, _ = ckpt.load_checkpoint(best_dir, params)
@@ -597,14 +648,16 @@ def train(rc: RunConfig, *, datasets=None, synth=None, seed: int = 0,
     te = None
     if datasets is not None and "test" in datasets:
         te = run_split("test", 0, False)
-        with open(os.path.join(dirs["logs_json"], "test_metrics.json"),
-                  "w") as f:
-            json.dump(te, f, indent=2)
+        if is_main:
+            with open(os.path.join(dirs["logs_json"], "test_metrics.json"),
+                      "w") as f:
+                json.dump(te, f, indent=2)
         say(f"Test metrics: {te}")
 
     # Q visualisation on test batches (train_biear.py:691-700 — a no-op
-    # stub in the reference; real plots here).
-    if rc.active and rc.model_kind == "active":
+    # stub in the reference; real plots here). Single-process only: the
+    # plot's forward passes would be collectives that only one rank runs.
+    if n_proc == 1 and rc.active and rc.model_kind == "active":
         try:
             from ..utils.qvis import visualize_Q_LR
             if hasattr(datasets.get("test"), "device_batches"):

@@ -18,14 +18,38 @@ import orbax.checkpoint as ocp
 
 
 def save_checkpoint(path: str, params, opt_state=None, meta: dict | None = None):
-    """Write a checkpoint directory {params/, opt_state/, meta.json}."""
+    """Write a checkpoint directory {params/, opt_state/, meta.json}.
+
+    Multi-process: orbax's save is a COLLECTIVE (it runs a
+    sync_global_processes barrier internally), so EVERY rank must call
+    this — a lone rank-0 caller deadlocks against ranks that moved on.
+    Actual file writes still happen on the primary host only; non-main
+    ranks touch no files (meta.json and directory creation are explicitly
+    rank-0-gated here). Cross-process arrays are pulled to host numpy
+    first — legal exactly when they are fully replicated (pure-DP training
+    state, the production mesh); a cross-process *model-sharded* state
+    fails loudly here instead of writing a partial tree."""
     path = os.path.abspath(path)
-    os.makedirs(path, exist_ok=True)
+    is_main = jax.process_index() == 0
+    if is_main:
+        os.makedirs(path, exist_ok=True)
+    if jax.process_count() > 1:
+        def to_host(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                if not x.is_fully_replicated:
+                    raise ValueError(
+                        "host-numpy checkpointing needs fully-replicated "
+                        f"cross-process arrays; got sharding {x.sharding}")
+                return np.asarray(x)
+            return x
+        params = jax.tree.map(to_host, params)
+        if opt_state is not None:
+            opt_state = jax.tree.map(to_host, opt_state)
     with ocp.PyTreeCheckpointer() as cp:
         cp.save(os.path.join(path, "params"), params, force=True)
         if opt_state is not None:
             cp.save(os.path.join(path, "opt_state"), opt_state, force=True)
-    if meta is not None:
+    if is_main and meta is not None:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2)
 

@@ -71,3 +71,17 @@ class MetricLogger:
         if self._tb is not None:
             self._tb.flush()
             self._tb.close()
+
+
+class NullLogger:
+    """Logger for non-main processes of a multi-process run: same
+    interface, no files opened, no writes (jax.process_index() != 0)."""
+
+    def scalars(self, tag_prefix, values, step):
+        pass
+
+    def histograms(self, tag_prefix, hists, edges, step):
+        pass
+
+    def close(self):
+        pass

@@ -129,3 +129,64 @@ def test_two_process_distributed_psum():
              for o in outs]
     assert all(m for m in marks), "missing GLOBAL_OK marker:\n" + "\n".join(outs)
     assert marks[0] == marks[1]
+
+
+_RUNNER_WORKER = os.path.join(os.path.dirname(__file__),
+                              "_multihost_runner_worker.py")
+
+
+@pytest.mark.slow
+def test_two_process_runner_smoke(tmp_path):
+    """The PRODUCTION runner under jax.process_count()==2: two tiny epochs
+    through runner.train with per-host input slices assembled into global
+    batches. Asserts (a) both ranks report bit-identical metric histories,
+    (b) exactly one run tree exists, written by rank 0 alone — rank 1
+    carries an open/makedirs tripwire that fails the worker on any write
+    under the run tree, (c) the tree holds the standard artifacts."""
+    import json as json_mod
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_runner import _tiny_h5
+
+    rng = np.random.default_rng(0)
+    # n=13 rows over 2 hosts at local_bs=2: host 0 gets 7 rows (4 batches),
+    # host 1 gets 6 (3) — exercising the all-padding batch equalization
+    _tiny_h5(tmp_path, rng, n=13)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    port = 29531
+    procs = [subprocess.Popen(
+        [sys.executable, _RUNNER_WORKER, str(pid), "2", str(port),
+         str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("runner workers timed out:\n" + "\n".join(outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    results = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert lines, "missing RESULT marker:\n" + out
+        results.append(json_mod.loads(lines[-1][len("RESULT "):]))
+    # identical metrics on both ranks (replicated global computation)
+    assert results[0] == results[1]
+    assert np.isfinite(results[0]["train"][-1]["loss"])
+    # exactly one run tree, owned by rank 0
+    runs_root = tmp_path / "runs"
+    trees = sorted(os.listdir(runs_root))
+    assert len(trees) == 1, trees
+    run_dir = runs_root / trees[0]
+    assert str(run_dir) == results[0]["run_dir"]
+    for sub in ("meta/settings.json", "logs_json/history.json",
+                "logs_json/test_metrics.json", "logs_json/scalars.jsonl",
+                "checkpoints/best", "checkpoints/last"):
+        assert os.path.exists(run_dir / sub), sub

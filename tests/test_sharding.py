@@ -234,3 +234,21 @@ def test_eval_chunk_matches_on_mesh():
     np.testing.assert_allclose(np.asarray(got["loss"]),
                                np.asarray(base["loss"]),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_param_pspecs_unknown_key_fails_loudly():
+    """A param tree with a top-level key the partitioner doesn't know must
+    raise under model parallelism (silent replication of a new subsystem
+    would quietly forfeit its sharding), and keep replicating under pure
+    data parallelism."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    tree = {"body": {"l1": {"w": jnp.zeros((4, 4)), "b": jnp.zeros(4)},
+                     "l2": {"w": jnp.zeros((4, 4)), "b": jnp.zeros(4)},
+                     "l3": {"w": jnp.zeros((4, 4)), "b": jnp.zeros(4)}},
+            "mystery_subsystem": {"w": jnp.zeros((4, 4))}}
+    with pytest.raises(ValueError, match="mystery_subsystem"):
+        param_pspecs(tree, True)
+    specs = param_pspecs(tree, False)   # DP-only: replicate everything
+    assert all(s == P() for s in jax.tree.leaves(
+        specs, is_leaf=lambda x: isinstance(x, P)))
