@@ -84,6 +84,74 @@ def op_shape(e: dict) -> str:
     return m.group(1) if m else ""
 
 
+# ---- unique-buffer HBM-traffic model (round-4 VERDICT item 6) ----
+#
+# The trace's `bytes_accessed` is XLA cost analysis' PER-ACCESS total: an
+# operand a fusion reads many times (a VMEM-resident bank swept across
+# grid steps, a shared rhs) is counted per read, so dividing by time can
+# exceed the physical HBM bandwidth (1.03x peak at batch 512 in round 3).
+# The honest per-execution HBM traffic model: every DISTINCT buffer an op
+# touches moves over HBM at most once per execution (TPU fusions stream
+# each input through VMEM; re-reads hit VMEM, not HBM), and buffers whose
+# layout carries a non-zero memory space (e.g. `S(1)` = scratch/VMEM) are
+# not in HBM at all. Both shapes and spaces are parsed from the HLO text
+# in `long_name`:  %f = f32[a,b]{1,0:T(8,128)S(1)} fusion(f32[...] %op, …)
+# This is a lower bound the way `bytes_accessed` is an upper bound; it is
+# the number comparable against the chip's physical bandwidth.
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "f8e4m3fn": 1, "f8e5m2": 1,
+    "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4,
+    "s64": 8, "u64": 8, "f64": 8, "c64": 8, "c128": 16,
+}
+
+_SHAPE_TOK = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]\{([^}]*)\}")
+_OPERAND = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]\{([^}]*)\}\s+%([\w\.\-]+)")
+_OPCODE_SPLIT = re.compile(r"^(?P<out>.*?)\s(?P<opcode>[a-z][\w\-]*)\(")
+_SPACE = re.compile(r"S\((\d+)\)")
+
+
+def _buf_bytes(dtype: str, dims: str, layout: str) -> int:
+    """Bytes of one buffer, or 0 if it does not live in HBM (space != 0)."""
+    m = _SPACE.search(layout)
+    if m and m.group(1) != "0":
+        return 0
+    size = _DTYPE_BYTES.get(dtype)
+    if size is None:
+        return 0                      # token/opaque/unknown: no HBM bytes
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * size
+
+
+def hbm_bytes_one_exec(long_name: str) -> int | None:
+    """Unique-buffer HBM bytes for ONE execution of a leaf op, from its
+    HLO text: sum of result buffer(s) + each distinct operand buffer,
+    skipping non-HBM (S(n>0)) spaces. None if the text is unparseable."""
+    if " = " not in long_name:
+        return None
+    _, rhs = long_name.split(" = ", 1)
+    m = _OPCODE_SPLIT.match(rhs)
+    if m:
+        out_txt = m.group("out")
+        rest = rhs[m.end():]
+    else:                              # no-operand op: `f32[...]{...} iota()`
+        out_txt, rest = rhs, ""
+    total = sum(_buf_bytes(*t.groups()[:3])
+                for t in _SHAPE_TOK.finditer(out_txt))
+    seen: set = set()
+    for t in _OPERAND.finditer(rest):
+        dtype, dims, layout, name = t.groups()
+        if name in seen:               # the same operand used twice moves once
+            continue
+        seen.add(name)
+        total += _buf_bytes(dtype, dims, layout)
+    return total
+
+
 def attribute(events: list[dict], steps: int) -> dict:
     pid = device_pid(events)
     leaves = leaf_events(events, pid)
@@ -92,7 +160,8 @@ def attribute(events: list[dict], steps: int) -> dict:
     by_cat = collections.Counter()
     by_op = collections.Counter()
     op_meta: dict[str, dict] = {}
-    bytes_total = 0
+    access_bytes_total = 0
+    hbm_bytes_total = 0
     flops_total = 0
     for e in leaves:
         a = e.get("args", {})
@@ -101,12 +170,23 @@ def attribute(events: list[dict], steps: int) -> dict:
         # dedup repeated instances of the same op across steps/frames
         key = f"{e['name']} {op_shape(e)}"
         by_op[key] += e["dur"]
-        m = op_meta.setdefault(key, {"count": 0, "cat": cat,
-                                     "bytes": 0, "flops": 0})
+        m = op_meta.setdefault(key, {"count": 0, "cat": cat, "bytes": 0,
+                                     "access_bytes": 0, "flops": 0})
         m["count"] += 1
-        m["bytes"] += int(a.get("bytes_accessed", 0) or 0)
+        acc = int(a.get("bytes_accessed", 0) or 0)
+        hbm = hbm_bytes_one_exec(a.get("long_name", ""))
+        # Each model is the tight bound in the other's failure regime:
+        # per-access bytes overcount VMEM reuse (a bank re-read per grid
+        # step) but are exact for in-place updates (DUS: only the slice
+        # moves); unique-buffer bytes are exact for reuse but overcount
+        # aliased in-place outputs (they count the whole carry). Take the
+        # min — exact in both clean regimes, physically-sane everywhere.
+        hbm = acc if hbm is None else min(acc, hbm)
+        m["access_bytes"] += acc
+        m["bytes"] += hbm
         m["flops"] += int(a.get("model_flops", 0) or 0)
-        bytes_total += int(a.get("bytes_accessed", 0) or 0)
+        access_bytes_total += acc
+        hbm_bytes_total += hbm
         flops_total += int(a.get("model_flops", 0) or 0)
 
     total_s = total_us / 1e6
@@ -114,9 +194,16 @@ def attribute(events: list[dict], steps: int) -> dict:
         "device_busy_ms_total": round(total_us / 1e3, 3),
         "device_busy_ms_per_step": round(total_us / 1e3 / steps, 3),
         "steps": steps,
-        "achieved_hbm_gbs": round(bytes_total / total_s / 1e9, 1),
-        "hbm_utilisation": round(bytes_total / total_s / 1e9
+        # headline = unique-buffer HBM traffic (physically <= peak);
+        # access_* = XLA cost analysis per-access bytes (counts VMEM reuse,
+        # an upper bound that CAN exceed the chip's physical bandwidth)
+        "achieved_hbm_gbs": round(hbm_bytes_total / total_s / 1e9, 2),
+        "hbm_utilisation": round(hbm_bytes_total / total_s / 1e9
                                  / HBM_PEAK_GBS, 3),
+        "access_gbs": round(access_bytes_total / total_s / 1e9, 2),
+        "access_vs_hbm_reuse_x": round(
+            access_bytes_total / hbm_bytes_total, 2) if hbm_bytes_total
+        else None,
         "achieved_tflops": round(flops_total / total_s / 1e12, 3),
         "mxu_utilisation": round(flops_total / total_s / MXU_PEAK_FLOPS, 4),
         "by_category_ms": {k: round(v / 1e3, 3)
@@ -130,6 +217,8 @@ def attribute(events: list[dict], steps: int) -> dict:
                 "category": op_meta[k]["cat"],
                 "gbs": round(op_meta[k]["bytes"] / (v / 1e6) / 1e9, 1)
                        if v else 0.0,
+                "access_gbs": round(op_meta[k]["access_bytes"] / (v / 1e6)
+                                    / 1e9, 1) if v else 0.0,
             }
             for k, v in by_op.most_common(20)
         ],
