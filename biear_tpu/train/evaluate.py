@@ -162,8 +162,16 @@ def evaluate(checkpoint_path: str, test_h5: str | None = None,
             root = s["ROOT"]
             test_h5 = (f"{root}/anechoic_test2_active_wav.h5" if active
                        else f"{root}/anechoic_test2_gt_group_phase.h5")
-        DS = ActiveH5Dataset if active else PassiveH5Dataset
-        dataset = DS(test_h5)
+        if test_h5.endswith(".shard"):
+            # native mmap shards (DATA_FORMAT: shard / tools/h5_to_shard.py)
+            from ..data.native_loader import ShardDataset
+            tb = (cfg.timesteps, cfg.n_bands)
+            shapes = ([(cfg.fs,), (cfg.fs,), (cfg.n_bands,), (56,)] if active
+                      else [tb, tb, (cfg.n_bands,), tb, tb, (56,)])
+            dataset = ShardDataset(test_h5, shapes=shapes)
+        else:
+            DS = ActiveH5Dataset if active else PassiveH5Dataset
+            dataset = DS(test_h5)
 
     s_all, a_all, d_all, y_all = _collect_predictions(
         params, cfg, dataset, batch_size, active, model_kind)

@@ -17,7 +17,8 @@ def main():
                     help="orbax checkpoint dir (…/checkpoints/best) or "
                          "reference .pth file")
     ap.add_argument("--test-h5", default=None,
-                    help="test H5 (default: ROOT/anechoic_test2_* from "
+                    help="test H5, or a native .shard file "
+                         "(default: ROOT/anechoic_test2_* from "
                          "settings.json)")
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--out", default=None,

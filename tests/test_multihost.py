@@ -190,3 +190,24 @@ def test_two_process_runner_smoke(tmp_path):
                 "logs_json/test_metrics.json", "logs_json/scalars.jsonl",
                 "checkpoints/best", "checkpoints/last"):
         assert os.path.exists(run_dir / sub), sub
+
+
+@pytest.mark.parametrize("n,bs,hosts", [(13, 2, 2), (130, 32, 2), (64, 8, 4),
+                                        (65, 8, 4)])
+def test_equal_batch_counts_across_hosts(n, bs, hosts):
+    """Under pad_to_full every host must emit the SAME number of batches
+    (collective steps deadlock on ragged epoch tails otherwise); short
+    hosts append all-padding batches whose weights are exactly zero."""
+    counts, real_rows = [], []
+    for h in range(hosts):
+        nb, rows = 0, 0
+        for b in batch_iterator(_IndexDataset(n), bs, shuffle=True, seed=1,
+                                epoch=2, pad_to_full=True, host_id=h,
+                                host_count=hosts):
+            nb += 1
+            rows += int(b[-1].sum())
+            assert b[0].shape[0] == bs        # static shape incl. dummies
+        counts.append(nb)
+        real_rows.append(rows)
+    assert len(set(counts)) == 1, counts      # equal everywhere
+    assert sum(real_rows) == n                # padding contributes nothing

@@ -135,3 +135,24 @@ def test_train_runner_from_shards(tmp_path, rng):
         h = json.load(f)
     assert len(h["train"]) == rc.epochs
     assert np.isfinite(h["train"][-1]["loss"])
+
+
+@pytest.mark.slow
+def test_evaluate_from_shard(tmp_path, rng):
+    """The evaluate pipeline accepts a .shard test split directly."""
+    from test_runner import _tiny_rc, _tiny_h5
+    from biear_tpu.train.runner import train
+    from biear_tpu.train.evaluate import evaluate
+
+    rc = _tiny_rc(tmp_path)
+    rc.epochs = 1
+    ds = _tiny_h5(tmp_path, rng, fs=rc.model_cfg.fs,
+                  bands=rc.model_cfg.n_bands)
+    out = train(rc, datasets=ds, quiet=True, run_id="EVS")
+    shard = str(tmp_path / "test.shard")
+    arrays = [a.copy() for a in ds["test"].rows(np.arange(len(ds["test"])))]
+    write_shard(shard, arrays, ["i16", "i16", "f32", "f32"])
+    res = evaluate(f"{out['run_dir']}/checkpoints/best", test_h5=shard,
+                   batch_size=4, quiet=True,
+                   out_path=str(tmp_path / "ev.json"))
+    assert "overall" in res and np.isfinite(res["overall"]["sound_acc"])
