@@ -38,6 +38,11 @@ def batch_iterator(ds, batch_size: int, *, shuffle: bool, seed: int = 0,
     step is a collective — a host running one batch fewer would deadlock
     the others at the epoch tail. Zero-weight batches contribute nothing
     to losses or metrics (train/losses._batch_mean)."""
+    if drop_last and pad_to_full:
+        # contradictory: pad_to_full exists to keep the tail; the multi-host
+        # equalization target below also assumes the ceil-division count
+        raise ValueError("batch_iterator: drop_last and pad_to_full are "
+                         "mutually exclusive")
     n = len(ds)
     idx = np.arange(n)
     if shuffle:
