@@ -127,6 +127,32 @@ def _fb_gauss(Q, fc, f_fft):
     return bw, z, jnp.exp(-0.5 * z * z)
 
 
+def _fb_gauss_fast(Q, fc, f_fft):
+    """Divide-free Gaussian build for the bf16 production mode.
+
+    exp(-0.5 ((f-fc)/bw)^2) == exp(D * s) with D = -0.5 (f-fc)^2 a
+    compile-time (N, F) constant (fc/f_fft are literals) and
+    s = 1/bw^2 a (B, N)-sized cheap prologue — so the (B, N, F)-sized
+    inner loop is ONE multiply + exp instead of divide + two multiplies
+    + exp. The VPU-transcendental-bound W fusions are ~40 % of the step
+    (docs/mfu_attribution.md), and the divide is the most expensive
+    non-exp op in them (Newton-iteration emulation on the VPU).
+
+    Numerics: algebraically identical to _fb_gauss; f32 rounding of
+    x^2 * s vs (x/bw)^2 differs by ~1e-7 relative in the exponent —
+    invisible under the bf16 rounding (~4e-3) this mode applies to G
+    right after. The f32 parity surface keeps the exact reference
+    association in _fb_gauss. Returns (bw, t, G) with t = log G, so the
+    bwd's G * z^2 is G * (-2 t) — also divide-free.
+    """
+    eps_q, eps_bw, _ = _fb_eps()
+    bw = (fc / (Q + eps_q))[..., None] + eps_bw          # (B, N, 1)
+    D = -0.5 * jnp.square(f_fft[None, :] - fc[:, None])  # (N, F) constant
+    s = 1.0 / jnp.square(bw)                             # (B, N, 1)
+    t = D * s                                            # (B, N, F)
+    return bw, t, jnp.exp(t)
+
+
 def _fb_dot(lhs, rhs, bf16: bool, sub: str):
     if bf16:
         lhs, rhs = lhs.astype(jnp.bfloat16), rhs.astype(jnp.bfloat16)
@@ -214,7 +240,7 @@ def _fb_apply(Q, fc, f_fft, Xmag, Xre, Xim, mode):
 def _fb_fwd(Q, fc, f_fft, Xmag, Xre, Xim, mode):
     bf16 = mode.startswith("bf16")
     _, _, eps_norm = _fb_eps()
-    _, _, G = _fb_gauss(Q, fc, f_fft)
+    _, _, G = (_fb_gauss_fast if bf16 else _fb_gauss)(Q, fc, f_fft)
     ones = jnp.ones_like(Xmag[..., :1])
     rhs = jnp.stack([Xmag, Xre, Xim,
                      jnp.broadcast_to(ones, Xmag.shape)], axis=-1)
@@ -239,12 +265,17 @@ def _fb_bwd(mode, res, g):
     gden = -(gY * Y + gZre * Zre + gZim * Zim) / den
     g4 = jnp.stack([gY / den, gZre / den, gZim / den, gden], axis=-1)
 
-    bw, z, G = _fb_gauss(Q, fc, f_fft)
+    if bf16:
+        bw, t, G = _fb_gauss_fast(Q, fc, f_fft)
+        Gz2 = G * (-2.0 * t)                             # z^2 = -2 log G
+    else:
+        bw, z, G = _fb_gauss(Q, fc, f_fft)
+        Gz2 = G * (z * z)
     ones = jnp.ones_like(Xmag[..., :1])
     rhs = jnp.stack([Xmag, Xre, Xim,
                      jnp.broadcast_to(ones, Xmag.shape)], axis=-1)
 
-    T = _fb_dot(G * (z * z), rhs, bf16, "bnf,bfc->bnc")  # (B, N, 4)
+    T = _fb_dot(Gz2, rhs, bf16, "bnf,bfc->bnc")          # (B, N, 4)
     dQ = (-fc / jnp.square(Q + eps_q) / bw[..., 0]
           * jnp.sum(g4 * T, axis=-1))
 

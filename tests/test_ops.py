@@ -244,6 +244,35 @@ def test_filterbank_apply_noxg_mode(rng):
             assert np.abs(np.asarray(g)).max() > 0  # control: H was real
 
 
+def test_fb_gauss_fast_matches_reference_build(rng):
+    """The divide-free Gaussian build used by the bf16 production mode
+    (`_fb_gauss_fast`: exp(D*s) with constant D=-((f-fc)^2)/2 and per-band
+    s=1/bw^2) must agree with the reference association `_fb_gauss`
+    (exp(-((f-fc)/bw)^2/2)) to f32 rounding, and its returned exponent t
+    must satisfy the bwd identity z^2 == -2t wherever G is non-negligible
+    (the custom bwd rebuilds G*z^2 as G*(-2t))."""
+    from biear_tpu.ops.filterbank import _fb_gauss, _fb_gauss_fast
+
+    fc, Q0 = np_erb_spaced_fc_and_q(100, 50.0, 7200.0)
+    f_fft = np.linspace(0, 8000.0, 513)
+    # span the full deltaQ range incl. the q_min=0.05 whole-spectrum case
+    Q = np.concatenate([
+        (Q0[None] * rng.uniform(0.5, 1.5, (3, 100))).astype(np.float32),
+        np.full((1, 100), 0.05, np.float32),
+        np.full((1, 100), 30.0, np.float32)])
+    args = (jnp.asarray(Q), jnp.asarray(fc, jnp.float32),
+            jnp.asarray(f_fft, jnp.float32))
+    bw_r, z, G_r = (np.asarray(a) for a in _fb_gauss(*args))
+    bw_f, t, G_f = (np.asarray(a) for a in _fb_gauss_fast(*args))
+    np.testing.assert_array_equal(bw_f, bw_r)
+    # identical algebra up to f32 rounding of x^2*s vs (x/bw)^2: tiny
+    # relative error where G is meaningful, tiny absolute in the tails
+    np.testing.assert_allclose(G_f, G_r, rtol=2e-5, atol=1e-7)
+    body = G_r > 1e-3
+    np.testing.assert_allclose((-2.0 * t)[body], (z * z)[body],
+                               rtol=2e-5, atol=1e-6)
+
+
 def test_fixed_filterbank_matrix_clips_q():
     fc, Q0 = erb_spaced_fc_and_q(100, 50.0, 7200.0)
     f_fft = jnp.linspace(0.0, 8000.0, 513)
