@@ -239,18 +239,35 @@ def _fb_apply(Q, fc, f_fft, Xmag, Xre, Xim, mode):
 
 def _fb_fwd(Q, fc, f_fft, Xmag, Xre, Xim, mode):
     bf16 = mode.startswith("bf16")
+    # Production mode (bf16, spectra off the grad path): the bwd's only
+    # (B, N, F)-sized quantity, T = sum_f G z^2 rhs, depends on NOTHING
+    # from the cotangents — so compute it here, sharing this build's G,
+    # and the bwd below collapses to (B, N)-sized arithmetic. The scan
+    # residual is the (B, N, 4) T instead of the three (B, F) spectra.
+    fwd_T = bf16 and mode.endswith("|noxg")
     _, _, eps_norm = _fb_eps()
-    _, _, G = (_fb_gauss_fast if bf16 else _fb_gauss)(Q, fc, f_fft)
     ones = jnp.ones_like(Xmag[..., :1])
     rhs = jnp.stack([Xmag, Xre, Xim,
                      jnp.broadcast_to(ones, Xmag.shape)], axis=-1)
-    out = _fb_dot(G, rhs, bf16, "bnf,bfc->bnc")          # (B, N, 4)
+    if fwd_T:
+        bw, t, G = _fb_gauss_fast(Q, fc, f_fft)
+        out = _fb_dot(G, rhs, bf16, "bnf,bfc->bnc")      # (B, N, 4)
+        T = _fb_dot(G * (-2.0 * t), rhs, bf16, "bnf,bfc->bnc")
+    else:
+        _, _, G = (_fb_gauss_fast if bf16 else _fb_gauss)(Q, fc, f_fft)
+        out = _fb_dot(G, rhs, bf16, "bnf,bfc->bnc")      # (B, N, 4)
     den = out[..., 3] + eps_norm
     Y_raw = out[..., 0] / den
     Y = jnp.nan_to_num(Y_raw, nan=0.0, posinf=0.0, neginf=0.0)
     Zre, Zim = out[..., 1] / den, out[..., 2] / den
-    res = (Q, fc, f_fft, Xmag, Xre, Xim, Y, Zre, Zim, den,
-           jnp.isfinite(Y_raw))
+    if fwd_T:
+        # Xmag[..., :1] rides along only to give the bwd the spectra
+        # cotangents' shape/dtype without stacking the full (B, F) arrays.
+        res = (Q, fc, f_fft, Xmag[..., :1], bw[..., 0], T,
+               Y, Zre, Zim, den, jnp.isfinite(Y_raw))
+    else:
+        res = (Q, fc, f_fft, Xmag, Xre, Xim, Y, Zre, Zim, den,
+               jnp.isfinite(Y_raw))
     return (Y, Zre, Zim), res
 
 
@@ -258,12 +275,26 @@ def _fb_bwd(mode, res, g):
     bf16 = mode.startswith("bf16")
     x_grad = not mode.endswith("|noxg")
     eps_q, _, _ = _fb_eps()
-    Q, fc, f_fft, Xmag, Xre, Xim, Y, Zre, Zim, den, finite = res
+    fwd_T = bf16 and not x_grad
+    if fwd_T:
+        Q, fc, f_fft, xproto, bw0, T, Y, Zre, Zim, den, finite = res
+    else:
+        Q, fc, f_fft, Xmag, Xre, Xim, Y, Zre, Zim, den, finite = res
     gY, gZre, gZim = g
     # nan_to_num passes zero cotangent at the positions it zeroed
     gY = jnp.where(finite, gY, 0.0)
     gden = -(gY * Y + gZre * Zre + gZim * Zim) / den
     g4 = jnp.stack([gY / den, gZre / den, gZim / den, gden], axis=-1)
+
+    if fwd_T:
+        # T was computed in the fwd (sharing its G build); everything
+        # left is (B, N)-sized. Numerics identical to the rebuild: the
+        # T contraction uses the same operands/precision either way.
+        dQ = (-fc / jnp.square(Q + eps_q) / bw0
+              * jnp.sum(g4 * T, axis=-1))
+        zX = jnp.zeros((xproto.shape[0], f_fft.shape[0]), xproto.dtype)
+        return (dQ, jnp.zeros_like(fc), jnp.zeros_like(f_fft),
+                zX, zX, zX)
 
     if bf16:
         bw, t, G = _fb_gauss_fast(Q, fc, f_fft)
