@@ -99,27 +99,43 @@ def main():
         e2e_p50 = statistics.median(ts)
         e2e_p95 = sorted(ts)[max(0, int(round(0.95 * len(ts))) - 1)]
 
-        # device: difference of K-chain and 2K-chain scans
-        K = args.chain
-        res = {}
-        for k in (K, 2 * K):
-            chL = jnp.asarray(rng.standard_normal((k, bs, hop)), jnp.float32)
-            chR = jnp.asarray(rng.standard_normal((k, bs, hop)), jnp.float32)
-            f = chain_fn(k)
-            sync(f(params, state0, chL, chR))          # compile + warmup
-            best = []
-            for _ in range(max(5, args.reps // 2)):
-                t0 = time.perf_counter()
-                sync(f(params, state0, chL, chR))
-                best.append(time.perf_counter() - t0)
-            res[k] = min(best)
-        device_ms = 1e3 * (res[2 * K] - res[K]) / K
-        rt = hop_ms / device_ms if device_ms > 0 else float("inf")
+        # device: difference of K-chain and 2K-chain scans. At small
+        # batch the per-step compute is far below the tunnel RTT, so a
+        # short chain's T(2K)-T(K) can be noise (even negative, which
+        # once crashed this tool on int(inf)); double K until the delta
+        # clears the measured RTT jitter, else report nulls.
+        K, device_ms = args.chain, None
+        while K <= 16 * args.chain:
+            res = {}
+            for k in (K, 2 * K):
+                chL = jnp.asarray(rng.standard_normal((k, bs, hop)),
+                                  jnp.float32)
+                chR = jnp.asarray(rng.standard_normal((k, bs, hop)),
+                                  jnp.float32)
+                f = chain_fn(k)
+                sync(f(params, state0, chL, chR))      # compile + warmup
+                best = []
+                for _ in range(max(5, args.reps // 2)):
+                    t0 = time.perf_counter()
+                    sync(f(params, state0, chL, chR))
+                    best.append(time.perf_counter() - t0)
+                res[k] = min(best)
+            delta_ms = 1e3 * (res[2 * K] - res[K])
+            jitter_ms = 1e3 * (max(best) - min(best))
+            if delta_ms > max(2.0, jitter_ms):
+                device_ms = delta_ms / K
+                break
+            print(f"  batch={bs}: K={K} delta {delta_ms:.2f} ms within "
+                  f"jitter {jitter_ms:.2f} ms — doubling the chain",
+                  file=sys.stderr)
+            K *= 2
+        rt = hop_ms / device_ms if device_ms else None
         row = {"batch": bs, "e2e_p50_ms": round(e2e_p50, 3),
                "e2e_p95_ms": round(e2e_p95, 3),
-               "device_ms": round(device_ms, 4),
-               "rt_factor": round(rt, 1),
-               "streams_per_chip": int(bs * rt)}
+               "chain": K,
+               "device_ms": round(device_ms, 4) if device_ms else None,
+               "rt_factor": round(rt, 1) if rt else None,
+               "streams_per_chip": int(bs * rt) if rt else None}
         rows.append(row)
         print(json.dumps(row), file=sys.stderr)
 
