@@ -85,6 +85,17 @@ def _fb_vjp(v) -> str:
     return s
 
 
+def _dft_mode(v) -> str:
+    """Validate DFT_MODE eagerly (see BiEARConfig.dft_mode): 'auto' ties
+    the MXU DFT-matmul spectra to the bf16-W production policy; 'fft' /
+    'matmul' force an implementation."""
+    s = str(v).lower()
+    if s not in ("auto", "fft", "matmul"):
+        raise ValueError(f"DFT_MODE must be 'auto', 'fft' or 'matmul', "
+                         f"got {v!r}")
+    return s
+
+
 def _data_format(v) -> str:
     """Validate DATA_FORMAT eagerly. 'h5' reads the reference H5 schema;
     'shard' reads the native mmap shards (data/native_loader.py) written by
@@ -121,6 +132,7 @@ def load_run_config(path: str) -> RunConfig:
         fb_w_dtype=_fb_w_dtype(cfg.get("FB_W_DTYPE", "float32")),
         fb_vjp=_fb_vjp(cfg.get("FB_VJP", "auto")),
         fb_x_grad=bool(cfg.get("FB_X_GRAD", False)),
+        dft_mode=_dft_mode(cfg.get("DFT_MODE", "auto")),
     )
     hyper = TrainHyper(
         lr_fb=float(cfg["LR_FB"]),
@@ -284,7 +296,8 @@ def settings_dict(rc: RunConfig, run_id: str, exp_name: str) -> dict:
                       N_BANDS=m.n_bands, FMIN=m.fmin, FMAX=m.fmax,
                       HOP_RATIO=m.hop_ratio, LATENT_DIM=m.latent_dim,
                       D_MODEL=m.d_model, FB_W_DTYPE=m.fb_w_dtype,
-                      FB_VJP=m.fb_vjp, FB_X_GRAD=m.fb_x_grad),
+                      FB_VJP=m.fb_vjp, FB_X_GRAD=m.fb_x_grad,
+                      DFT_MODE=m.dft_mode),
     )
 
 
@@ -354,6 +367,7 @@ def config_from_settings(s: dict) -> tuple[BiEARConfig, TrainHyper, dict]:
         fb_w_dtype=_fb_w_dtype(g.get("FB_W_DTYPE", "float32")),
         fb_vjp=_fb_vjp(g.get("FB_VJP", "auto")),
         fb_x_grad=bool(g.get("FB_X_GRAD", False)),
+        dft_mode=_dft_mode(g.get("DFT_MODE", "auto")),
     )
     hyper = TrainHyper(
         loss_w_sound=float(s.get("LOSS_WEIGHT_SOUND", 0.2)),

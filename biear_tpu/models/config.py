@@ -89,6 +89,20 @@ class BiEARConfig:
     # VJP auto-selection). Config key FB_X_GRAD.
     fb_x_grad: bool = False
 
+    # Frame-spectra implementation (models/frontend.spectra). "fft" = XLA
+    # rFFT (the f32 parity surface); "matmul" = windowed DFT-as-matmul —
+    # the (win, F) cos/sin bases with the Hann window and the implicit
+    # zero-pad folded in, contracted on the MXU at DEFAULT precision.
+    # Measured 3.9x faster than the VPU-side rFFT at the production shape
+    # (0.93 vs 3.63 ms per both-ears batch-512 call, one v5e,
+    # device_get-synced chains; docs/dft_matmul_probe.json) with spectra
+    # error ~1e-3 of spectrum max — the same rounding class the bf16-W
+    # policy already applies to the X operand of the filterbank dot.
+    # "auto" therefore resolves to matmul exactly when fb_w_dtype is
+    # bfloat16 (production) and to fft on the f32 parity surface.
+    # Config key DFT_MODE.
+    dft_mode: str = "auto"
+
     # AuralNet baseline
     d_model: int = 128
     attn_heads: int = 4
@@ -107,6 +121,19 @@ class BiEARConfig:
             raise ValueError(
                 f"fb_vjp must be 'auto', 'custom' or 'autodiff', "
                 f"got {self.fb_vjp!r}")
+        if self.dft_mode not in ("auto", "fft", "matmul"):
+            raise ValueError(
+                f"dft_mode must be 'auto', 'fft' or 'matmul', "
+                f"got {self.dft_mode!r}")
+
+    @property
+    def use_dft_matmul(self) -> bool:
+        """Resolve dft_mode: 'auto' ties the MXU DFT to the bf16-W
+        production policy (both introduce the same bf16-rounding class);
+        the f32 parity surface keeps the exact rFFT."""
+        if self.dft_mode == "auto":
+            return self.fb_w_dtype == "bfloat16"
+        return self.dft_mode == "matmul"
 
     @property
     def fmax_eff(self) -> float:

@@ -194,8 +194,18 @@ def _cc_readout(cc, plan):
 
 def _frame_spectra(cfg: BiEARConfig, chunk):
     """(B, win) chunk -> (xmag, xre, xim), each (B, F): the per-frame body
-    of frontend.spectra (same periodic-Hann window, same n_fft pad)."""
+    of frontend.spectra (same periodic-Hann window, same n_fft pad), with
+    the SAME cfg.dft_mode resolution — the stream-vs-batch exactness
+    contract requires both paths to pick the same implementation."""
     c = F.frontend_constants(cfg)
+    if cfg.use_dft_matmul:
+        re = jnp.einsum("bw,wf->bf", chunk, c["dft_re"],
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+        im = jnp.einsum("bw,wf->bf", chunk, c["dft_im"],
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+        return jnp.sqrt(re * re + im * im), re, im
     X = jnp.fft.rfft(chunk * c["window"], n=cfg.n_fft)
     return jnp.abs(X), X.real, X.imag
 

@@ -332,3 +332,43 @@ def test_fixed_forward_honors_fb_w_dtype(rng):
     rel = float(jnp.max(jnp.abs(o32[0] - o16[0])
                         / (jnp.abs(o32[0]) + 1e-6)))
     assert 0.0 < rel < 5e-2     # bf16 rounding: visible, bounded
+
+
+def test_spectra_dft_matmul_matches_rfft(rng):
+    """The DFT-matmul spectra path (cfg.dft_mode='matmul') computes the
+    SAME windowed zero-padded rFFT as the XLA path — exactly, up to the
+    matmul's operand rounding (DEFAULT precision = bf16-rounded operands,
+    f32 accumulate). On CPU the DEFAULT matmul runs f32, so the error
+    here must be near machine precision; on TPU the error class equals
+    the shipped bf16-W filterbank policy's (docs/dft_matmul_probe.json:
+    ~1e-3 of spectrum max)."""
+    import dataclasses
+    from biear_tpu.config import BiEARConfig
+    from biear_tpu.models.frontend import spectra
+
+    cfg_fft = BiEARConfig(dft_mode="fft")
+    cfg_mm = dataclasses.replace(cfg_fft, dft_mode="matmul")
+    wav = jnp.asarray(rng.standard_normal((3, 16000)), jnp.float32)
+    ref = spectra(cfg_fft, wav)
+    got = spectra(cfg_mm, wav)
+    scale = float(max(jnp.max(jnp.abs(r)) for r in ref))
+    for r, g in zip(ref, got):
+        assert g.shape == r.shape and g.dtype == jnp.float32
+        err = float(jnp.max(jnp.abs(r - g))) / scale
+        assert err < 3e-3, err
+
+
+def test_spectra_dft_mode_auto_resolution():
+    """'auto' ties the MXU DFT to the bf16-W production policy and keeps
+    the exact rFFT on the f32 parity surface."""
+    import dataclasses
+    from biear_tpu.config import BiEARConfig
+
+    base = BiEARConfig()
+    assert not base.use_dft_matmul                     # f32 parity -> fft
+    bf16 = dataclasses.replace(base, fb_w_dtype="bfloat16")
+    assert bf16.use_dft_matmul                         # production -> matmul
+    assert dataclasses.replace(base, dft_mode="matmul").use_dft_matmul
+    assert not dataclasses.replace(bf16, dft_mode="fft").use_dft_matmul
+    with pytest.raises(ValueError):
+        dataclasses.replace(base, dft_mode="rfft")
