@@ -367,7 +367,11 @@ def config_from_settings(s: dict) -> tuple[BiEARConfig, TrainHyper, dict]:
         fb_w_dtype=_fb_w_dtype(g.get("FB_W_DTYPE", "float32")),
         fb_vjp=_fb_vjp(g.get("FB_VJP", "auto")),
         fb_x_grad=bool(g.get("FB_X_GRAD", False)),
-        dft_mode=_dft_mode(g.get("DFT_MODE", "auto")),
+        # Missing key = settings.json written before the DFT_MODE knob
+        # existed; those checkpoints trained on the rFFT spectra path, so
+        # re-evaluate with it too ('auto' would silently switch a bf16-W
+        # checkpoint to the matmul spectra, a ~1e-3 shift vs training).
+        dft_mode=_dft_mode(g.get("DFT_MODE", "fft")),
     )
     hyper = TrainHyper(
         loss_w_sound=float(s.get("LOSS_WEIGHT_SOUND", 0.2)),

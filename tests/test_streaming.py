@@ -72,6 +72,33 @@ def test_stream_matches_batch(mode, fixed):
     _assert_match(stream_out, batch_out, atol=2e-4)
 
 
+def test_stream_matches_batch_bf16_matmul_dft():
+    """The exactness contract under the PRODUCTION bf16-W + matmul-DFT
+    policy (serve/streaming.py _frame_spectra): the stream path's (B,w)
+    einsum must reproduce the batch path's (B,T,w) einsum. The contraction
+    operands and precision are identical; only the batching shape differs,
+    which XLA evaluates with the same dot kernel — asserted here at a
+    tight explicit tolerance rather than assumed in a comment."""
+    cfg = BiEARConfig(controller_mode="dual", use_cc=True,
+                      fb_w_dtype="bfloat16", dft_mode="matmul",
+                      deltaQ_mode="relative", deltaQ_base=1.0,
+                      deltaQ_low_factor=0.3, deltaQ_high_factor=5.0)
+    assert cfg.use_dft_matmul
+    params = init_active(jax.random.PRNGKey(3), cfg)
+    p = params["bifb"]["fb"]
+    p["q_out"]["l3"]["w"] = 0.25 * jax.random.normal(
+        jax.random.PRNGKey(7), p["q_out"]["l3"]["w"].shape)
+
+    wavL, wavR = _wavs(np.random.default_rng(13), B=3)
+    x3 = _batch_x3(wavL, wavR)
+    batch_out = active_forward(params, cfg, wavL, wavR, x3)[:3]
+    stream_out = stream_apply(params, cfg, wavL, wavR)
+    # Same 2e-4 budget as the f32 path: the CC accumulation order is the
+    # only divergence; the matmul spectra themselves are shape-batched
+    # identically on both sides.
+    _assert_match(stream_out, batch_out, atol=2e-4)
+
+
 def test_stream_step_by_step_no_cc_is_exact():
     """Without the CC feature every streamed op is the literal batch op,
     so the agreement must be at float32 round-off, not just tolerance."""

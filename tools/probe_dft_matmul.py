@@ -103,7 +103,10 @@ def main():
     # ---- accuracy ----
     ref = jax.jit(lambda w: spectra_fft(cfg, w))(wav_d)
     ref = [np.asarray(x, np.float64) for x in ref]
-    scale = max(np.abs(r).max() for r in ref[1:])
+    # Normalisation spans ALL reference components (mag, re, im) so the
+    # "_vs_specmax" suffix means what it says; mag's max >= re/im max, so
+    # this is the spectrum max, not just the re/im max.
+    scale = max(np.abs(r).max() for r in ref)
     for name, dtype in (("bf16", jnp.bfloat16), ("f32_default", jnp.float32)):
         got = jax.jit(make_spectra_dft(cfg, dtype))(wav_d)
         got = [np.asarray(x, np.float64) for x in got]
