@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from ..ops.erb import erb_spaced_fc_and_q, make_deltaQ_profile
 from ..ops.framing import frame_params, frame_1s, hann_window_periodic
-from ..ops.filterbank import filterbank_apply, band_phase, fixed_filterbank_matrix
+from ..ops.filterbank import (filterbank_apply, filterbank_apply_rhs,
+                              stack_rhs, band_phase, fixed_filterbank_matrix)
 from .config import BiEARConfig
 
 
@@ -166,17 +167,27 @@ def controller_init(key, cfg: BiEARConfig, n_in: int):
     }
 
 
-def controller_step(p, cfg: BiEARConfig, h, feat, drop_key, train: bool):
-    """One controller update: returns (delta in [-1, 1], new hidden)."""
+def controller_step(p, cfg: BiEARConfig, h, feat, drop_key, train: bool,
+                    drops=None):
+    """One controller update: returns (delta in [-1, 1], new hidden).
+
+    drops: optional pair of precomputed keep-masks (B, H) for the two
+    dropout sites (L.dropout_masks) — the scan paths draw all frames'
+    masks in one call outside the scan; key-based sampling remains for
+    un-scanned callers (streaming runs eval-mode and never samples)."""
     h = L.gru_step(p["q_rnn"], h, feat)
     q = p["q_out"]
+    rate = cfg.ctrl_dropout
+    use_masks = train and drops is not None and rate > 0.0
     k1 = k2 = None
-    if train and drop_key is not None:
+    if train and drops is None and drop_key is not None:
         k1, k2 = jax.random.split(drop_key)
     z = L.silu(L.layer_norm(q["ln1"], L.linear(q["l1"], h)))
-    z = L.dropout(k1, z, cfg.ctrl_dropout, not train)
+    z = (L.dropout_apply(drops[0], z, rate) if use_masks
+         else L.dropout(k1, z, rate, not train))
     z = L.silu(L.layer_norm(q["ln2"], L.linear(q["l2"], z)))
-    z = L.dropout(k2, z, cfg.ctrl_dropout, not train)
+    z = (L.dropout_apply(drops[1], z, rate) if use_masks
+         else L.dropout(k2, z, rate, not train))
     return jnp.tanh(L.linear(q["l3"], z)), h
 
 
@@ -204,16 +215,27 @@ def adaptive_step(p_ctrl, cfg: BiEARConfig, carry, xmag, xre, xim,
     """ONE frame of the adaptive-Q feedback loop. carry = (Q, h), spectra
     (B, F). Returns ((Qn, hn), (Y, Q, phase)) for this frame.
 
-    This is the exact scan-step body of adaptive_scan, exposed so the
-    streaming inference path (serve/streaming.py) runs the identical code
-    frame-by-frame — any numerics change here changes both paths together.
+    This is the exact scan-step body of adaptive_scan (which feeds the
+    same body the pre-stacked rhs), exposed so the streaming inference
+    path (serve/streaming.py) runs the identical code frame-by-frame —
+    any numerics change here changes both paths together.
     """
+    rhs = stack_rhs(xmag, xre, xim, _wdt(cfg))
+    return _adaptive_step_rhs(p_ctrl, cfg, carry, rhs, key, train)
+
+
+def _adaptive_step_rhs(p_ctrl, cfg: BiEARConfig, carry, rhs,
+                       key=None, train: bool = False, drops=None):
+    """adaptive_step body on the pre-stacked contraction rhs (B, F, 4).
+
+    drops: optional precomputed controller dropout masks (see
+    controller_step) threaded through the scan as xs."""
     c = frontend_constants(cfg)
     Q, h = carry
 
-    Y, Zre, Zim = filterbank_apply(Q, c["fc"], c["f_fft"],
-                                   xmag, xre, xim, w_dtype=_wdt(cfg),
-                                   vjp=cfg.fb_vjp, x_grad=cfg.fb_x_grad)
+    Y, Zre, Zim = filterbank_apply_rhs(Q, c["fc"], c["f_fft"], rhs,
+                                       w_dtype=_wdt(cfg), vjp=cfg.fb_vjp,
+                                       x_grad=cfg.fb_x_grad)
     phase = band_phase(Zre, Zim)
     out = (Y, Q, phase)
 
@@ -226,10 +248,21 @@ def adaptive_step(p_ctrl, cfg: BiEARConfig, carry, xmag, xre, xim,
     # "memory" input is just 0.2 * sg(Y_ctrl) (model_torch.py:355-358).
     Y_mem = 0.2 * jax.lax.stop_gradient(Y_ctrl)
     feat = jnp.concatenate([Y_ctrl, Y_mem], axis=-1)
-    delta, h = controller_step(p_ctrl, cfg, h, feat, key, train)
+    delta, h = controller_step(p_ctrl, cfg, h, feat, key, train, drops)
     Qn = _next_q(cfg, c, delta)
     Qn, h = _finite_reset(Qn, h, c["Q0"][None])
     return (Qn, h), out
+
+
+def _scan_dropout_masks(cfg: BiEARConfig, rng, T: int, B: int, train: bool):
+    """All T frames' controller dropout masks in one draw (T, 2, B, H),
+    or None when dropout is off. One fused threefry kernel vs 2T tiny
+    in-scan ones, and the masks enter the scan as xs instead of being
+    DUS-stacked into backward residuals (docs/hot_ops_named.json)."""
+    if not (train and rng is not None and cfg.ctrl_dropout > 0.0):
+        return None
+    return L.dropout_masks(rng, cfg.ctrl_dropout,
+                           (T, 2, B, cfg.ctrl_hidden))
 
 
 def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
@@ -237,25 +270,36 @@ def adaptive_scan(p_ctrl, cfg: BiEARConfig, Xmag, Xre, Xim, rng, train: bool):
 
     Xmag/Xre/Xim: (B, T, F). Returns (Y, Q, phase), each (B, T, N).
     Parity: FramewiseAdaptiveGammatoneFB.forward (model_torch.py:314-386),
-    fused with the phase extraction of model_torch.py:1039-1063.
-    """
+    fused with the phase extraction of model_torch.py:1039-1063. The
+    contraction rhs for all frames is stacked ONCE outside the scan
+    (stack_rhs; same values, no per-frame layout copies), as are the
+    controller dropout masks."""
     c = frontend_constants(cfg)
     B = Xmag.shape[0]
     T = cfg.timesteps
     Q_init = jnp.broadcast_to(c["Q0"][None], (B, cfg.n_bands))
     h_init = jnp.zeros((B, cfg.ctrl_hidden), Xmag.dtype)
 
-    if train and rng is not None:
-        step_keys = jax.random.split(rng, T)
+    # XLA bitcasts the producer's (B, T) order into the xs buffer and
+    # re-layouts each frame's slice in VMEM (0.19 ms/step at batch 512 —
+    # cheaper than the three per-frame component copies this prestack
+    # replaced, 0.22 ms). Pre-transposing the components before the stack
+    # compiles to the IDENTICAL HLO (transpose+stack is canonicalized),
+    # so the residual copy is XLA's layout choice, not addressable here
+    # (measured rejection, docs/hot_ops_named.json).
+    swT = lambda a: jnp.swapaxes(a, 0, 1)
+    rhs_all = stack_rhs(swT(Xmag), swT(Xre), swT(Xim), _wdt(cfg))
+    masks = _scan_dropout_masks(cfg, rng, T, B, train)
+
+    if masks is None:                    # static: train is a python bool
+        def step(carry, rhs):
+            return _adaptive_step_rhs(p_ctrl, cfg, carry, rhs, train=train)
+        xs = rhs_all                                     # (T, B, 4, F)
     else:
-        step_keys = jnp.zeros((T, 2), jnp.uint32)
-
-    def step(carry, xs):
-        xmag, xre, xim, key = xs
-        return adaptive_step(p_ctrl, cfg, carry, xmag, xre, xim, key, train)
-
-    xs = (jnp.swapaxes(Xmag, 0, 1), jnp.swapaxes(Xre, 0, 1),
-          jnp.swapaxes(Xim, 0, 1), step_keys)
+        def step(carry, xs):
+            return _adaptive_step_rhs(p_ctrl, cfg, carry, xs[0],
+                                      train=train, drops=xs[1])
+        xs = (rhs_all, masks)
     body = jax.checkpoint(step) if _effective_remat(cfg, B) else step
     _, (Y, Q, phase) = jax.lax.scan(body, (Q_init, h_init), xs)
     return (jnp.swapaxes(Y, 0, 1), jnp.swapaxes(Q, 0, 1),
@@ -348,21 +392,28 @@ def single_step(p_ctrl, cfg: BiEARConfig, carry, xsL, xsR,
     xsL / xsR = (xmag, xre, xim) per ear, each (B, F). Returns
     (carry', (YL, YR, Q, phaseL, phaseR)) for this frame.
 
-    Exact scan-step body of single_frontend, exposed for the streaming
-    inference path (serve/streaming.py) — including the PERSISTENT
-    beta=0.8 EMA memories (model_torch.py:746-769)."""
+    Exact scan-step body of single_frontend (which feeds the same body
+    pre-stacked rhs), exposed for the streaming inference path
+    (serve/streaming.py) — including the PERSISTENT beta=0.8 EMA
+    memories (model_torch.py:746-769)."""
+    w = _wdt(cfg)
+    return _single_step_rhs(p_ctrl, cfg, carry, stack_rhs(*xsL, w),
+                            stack_rhs(*xsR, w), key, train)
+
+
+def _single_step_rhs(p_ctrl, cfg: BiEARConfig, carry, rhsL, rhsR,
+                     key=None, train: bool = False, drops=None):
+    """single_step body on pre-stacked per-ear rhs (B, F, 4)."""
     c = frontend_constants(cfg)
     beta = 0.8
     Q, h, memL, memR = carry
-    xmL, xrL, xiL = xsL
-    xmR, xrR, xiR = xsR
 
-    YL, ZreL, ZimL = filterbank_apply(Q, c["fc"], c["f_fft"],
-                                      xmL, xrL, xiL, w_dtype=_wdt(cfg),
-                                      vjp=cfg.fb_vjp, x_grad=cfg.fb_x_grad)
-    YR, ZreR, ZimR = filterbank_apply(Q, c["fc"], c["f_fft"],
-                                      xmR, xrR, xiR, w_dtype=_wdt(cfg),
-                                      vjp=cfg.fb_vjp, x_grad=cfg.fb_x_grad)
+    YL, ZreL, ZimL = filterbank_apply_rhs(Q, c["fc"], c["f_fft"], rhsL,
+                                          w_dtype=_wdt(cfg), vjp=cfg.fb_vjp,
+                                          x_grad=cfg.fb_x_grad)
+    YR, ZreR, ZimR = filterbank_apply_rhs(Q, c["fc"], c["f_fft"], rhsR,
+                                          w_dtype=_wdt(cfg), vjp=cfg.fb_vjp,
+                                          x_grad=cfg.fb_x_grad)
     out = (YL, YR, Q, band_phase(ZreL, ZimL), band_phase(ZreR, ZimR))
 
     if cfg.freeze_q:
@@ -373,7 +424,7 @@ def single_step(p_ctrl, cfg: BiEARConfig, carry, xsL, xsR,
     YL_ctrl = jnp.log1p(jnp.maximum(YL, 0.0))
     YR_ctrl = jnp.log1p(jnp.maximum(YR, 0.0))
     feat = jnp.concatenate([YL_ctrl, memL, YR_ctrl, memR], axis=-1)
-    delta, h = controller_step(p_ctrl, cfg, h, feat, key, train)
+    delta, h = controller_step(p_ctrl, cfg, h, feat, key, train, drops)
     Qn = _next_q(cfg, c, delta)
     Qn, h = _finite_reset(Qn, h, c["Q0"][None])
     memL = beta * memL + (1.0 - beta) * jax.lax.stop_gradient(YL_ctrl)
@@ -404,18 +455,22 @@ def single_frontend(params, cfg: BiEARConfig, wavL, wavR, rng, train: bool):
               jnp.zeros((B, cfg.n_bands), XmagL.dtype),
               jnp.zeros((B, cfg.n_bands), XmagL.dtype))
 
-    if train and rng is not None:
-        step_keys = jax.random.split(rng, T)
-    else:
-        step_keys = jnp.zeros((T, 2), jnp.uint32)
-
-    def step(carry, xs):
-        xmL, xrL, xiL, xmR, xrR, xiR, key = xs
-        return single_step(p_ctrl, cfg, carry, (xmL, xrL, xiL),
-                           (xmR, xrR, xiR), key, train)
-
     sw = lambda a: jnp.swapaxes(a, 0, 1)
-    xs = (sw(XmagL), sw(XreL), sw(XimL), sw(XmagR), sw(XreR), sw(XimR), step_keys)
+    w = _wdt(cfg)
+    rhsL = sw(stack_rhs(XmagL, XreL, XimL, w))           # (T, B, F, 4)
+    rhsR = sw(stack_rhs(XmagR, XreR, XimR, w))
+    masks = _scan_dropout_masks(cfg, rng, T, B, train)
+
+    if masks is None:
+        def step(carry, xs):
+            return _single_step_rhs(p_ctrl, cfg, carry, xs[0], xs[1],
+                                    train=train)
+        xs = (rhsL, rhsR)
+    else:
+        def step(carry, xs):
+            return _single_step_rhs(p_ctrl, cfg, carry, xs[0], xs[1],
+                                    train=train, drops=xs[2])
+        xs = (rhsL, rhsR, masks)
     body = jax.checkpoint(step) if _effective_remat(cfg, B) else step
     _, (YL, YR, Q, phL, phR) = jax.lax.scan(body, carry0, xs)
     return sw(YL), sw(YR), sw(Q), sw(Q), sw(phL), sw(phR)

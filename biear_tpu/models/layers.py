@@ -60,6 +60,23 @@ def dropout(key, x, rate: float, deterministic: bool):
     return jnp.where(mask, x / keep, 0.0)
 
 
+def dropout_masks(key, rate: float, shape):
+    """Keep-masks for dropout_apply, drawn in ONE bernoulli call.
+
+    Scan bodies that need per-frame dropout (the Q controller) draw all
+    T frames' masks here, outside the scan, and thread them through as
+    xs: one big threefry kernel replaces 2T tiny per-frame ones AND the
+    masks arrive as scan inputs instead of being stacked into backward
+    residuals by per-frame dynamic-update-slices (together 0.6 ms/step
+    at batch 512 — docs/hot_ops_named.json)."""
+    return jax.random.bernoulli(key, 1.0 - rate, shape)
+
+
+def dropout_apply(mask, x, rate: float):
+    """Inverted dropout from a precomputed keep-mask."""
+    return jnp.where(mask, x / (1.0 - rate), 0.0)
+
+
 # ---------------- GRU (torch layout: gates r, z, n) ----------------
 
 def gru_init(key, in_dim: int, hidden: int):

@@ -85,18 +85,40 @@ def filterbank_apply_ref(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None):
       Z   = sum_f W * X  (complex) (band analytic, model_torch.py:1054-1056)
 
     Divide-after form: the contraction uses the UNNORMALISED Gaussian G
-    with a ones-column stacked into the rhs, so one (B, F, 4) matmul
+    with a ones-column stacked into the rhs, so one (B, 4, F)-rhs matmul
     yields all three numerators and the row-sum denominator — the
     (B, N, F)-sized normalisation pass of the naive form never exists.
     Algebraically identical to contracting gaussian_filterbank's W
     (same eps placement; verified to 8e-7 in tests/test_ops.py).
     """
     # One shared body: this is plain autodiff over the SAME code the
-    # custom-VJP forward runs (_fb_fwd is an ordinary function; only
-    # _fb_apply attaches the hand bwd), so ref/custom forward bit-equality
-    # holds by construction rather than by keeping two copies in sync.
-    return _fb_fwd(Q, fc, f_fft, Xmag, Xre, Xim,
-                   "bf16" if _fb_is_bf16(w_dtype) else "f32")[0]
+    # custom-VJP forward runs (_fb_fwd_rhs is an ordinary function; only
+    # _fb_apply_rhs attaches the hand bwd), so ref/custom forward
+    # bit-equality holds by construction rather than by keeping two
+    # copies in sync.
+    mode = "bf16" if _fb_is_bf16(w_dtype) else "f32"
+    return _fb_fwd_rhs(Q, fc, f_fft, stack_rhs(Xmag, Xre, Xim, w_dtype),
+                       mode)[0]
+
+
+def stack_rhs(Xmag, Xre, Xim, w_dtype=None):
+    """Stack the spectra + ones-row into the contraction rhs
+    (..., 4, F), cast to the dot-operand dtype.
+
+    Hoisting this OUT of the frontend scan (one batched stack over all T
+    frames instead of three per-frame layout copies + in-fusion converts)
+    removed the largest "data formatting" bucket of the round-5 trace:
+    the three bf16[2,B,513,1] copies x19 frames, 0.22 ms/step at batch
+    512 (docs/hot_ops_named.json). The component axis sits at -2 so F
+    stays MINORMOST — the layout the W contraction wants; stacking at -1
+    put the 4-axis minor and XLA re-inserted a per-frame transpose copy
+    of the whole rhs slice (measured 0.19 ms/step, same trace). Values
+    are bit-identical either way: the cast commutes with stack/slice,
+    and _fb_dot's astype is a no-op on an already-bf16 rhs."""
+    rhs = jnp.stack([Xmag, Xre, Xim, jnp.ones_like(Xmag)], axis=-2)
+    if _fb_is_bf16(w_dtype):
+        rhs = rhs.astype(jnp.bfloat16)
+    return rhs
 
 
 # ---------------- custom-VJP wrapper (the production entry point) -----------
@@ -108,8 +130,8 @@ def filterbank_apply_ref(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None):
 # can instead be written as contractions of fwd-sized SHAPE:
 #
 #   dL/dQ_bn   = -fc_n/(Q+eps)^2 / bw_bn * sum_c g4_bnc T_bnc,
-#                T = einsum("bnf,bfc->bnc", G*z^2, rhs)      (F contracted)
-#   dL/drhs_bfc =  einsum("bnf,bnc->bfc", G, g4)             (N contracted)
+#                T = einsum("bnf,bcf->bnc", G*z^2, rhs)      (F contracted)
+#   dL/drhs_bfc =  einsum("bnf,bnc->bcf", G, g4)             (N contracted)
 #
 # so the (B, N, F) cotangent never exists — G is (re)built inside each
 # contraction exactly like the forward. g4 maps the division's cotangents
@@ -221,65 +243,82 @@ def filterbank_apply(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None,
     if vjp == "autodiff":
         return filterbank_apply_ref(Q, fc, f_fft, Xmag, Xre, Xim,
                                     w_dtype=w_dtype)
+    rhs = stack_rhs(Xmag, Xre, Xim, w_dtype)
     # custom_vjp takes positional args only; dtype/x_grad ride as a
-    # static mode string
+    # static mode string. The spectra cotangents (x_grad=True) flow back
+    # through stack_rhs's transpose: the rhs cotangent H splits into its
+    # three component slices (the ones-column's lands nowhere).
     mode = ("bf16" if _fb_is_bf16(w_dtype) else "f32") + \
         ("" if x_grad else "|noxg")
-    return _fb_apply(Q, fc, f_fft, Xmag, Xre, Xim, mode)
+    return _fb_apply_rhs(Q, fc, f_fft, rhs, mode)
+
+
+def filterbank_apply_rhs(Q, fc, f_fft, rhs, w_dtype=None,
+                         vjp: str = "auto", x_grad: bool = True):
+    """filterbank_apply on a PRE-STACKED rhs (..., 4, F) = [mag, re, im, 1].
+
+    The frontend scans prebuild the rhs for ALL frames outside the scan
+    (stack_rhs on the (B, T, F) spectra) so each frame's xs slice feeds
+    the W contraction directly — no per-frame stack/convert/copy chain
+    (0.22 ms/step of layout copies at batch 512, docs/hot_ops_named.json).
+    Semantics and numerics are identical to filterbank_apply on the
+    unstacked spectra (the cast commutes with stack/slice)."""
+    vjp = resolve_fb_vjp(vjp, Q.shape[0])
+    mode = ("bf16" if _fb_is_bf16(w_dtype) else "f32") + \
+        ("" if x_grad else "|noxg")
+    if vjp == "autodiff":
+        return _fb_fwd_rhs(Q, fc, f_fft, rhs, mode)[0]
+    return _fb_apply_rhs(Q, fc, f_fft, rhs, mode)
 
 
 def _fb_is_bf16(w_dtype) -> bool:
     return w_dtype is not None and jnp.dtype(w_dtype) == jnp.bfloat16
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _fb_apply(Q, fc, f_fft, Xmag, Xre, Xim, mode):
-    return _fb_fwd(Q, fc, f_fft, Xmag, Xre, Xim, mode)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fb_apply_rhs(Q, fc, f_fft, rhs, mode):
+    return _fb_fwd_rhs(Q, fc, f_fft, rhs, mode)[0]
 
 
-def _fb_fwd(Q, fc, f_fft, Xmag, Xre, Xim, mode):
+def _fb_fwd_rhs(Q, fc, f_fft, rhs, mode):
     bf16 = mode.startswith("bf16")
     # Production mode (bf16, spectra off the grad path): the bwd's only
     # (B, N, F)-sized quantity, T = sum_f G z^2 rhs, depends on NOTHING
     # from the cotangents — so compute it here, sharing this build's G,
     # and the bwd below collapses to (B, N)-sized arithmetic. The scan
-    # residual is the (B, N, 4) T instead of the three (B, F) spectra.
+    # residual is the (B, N, 4) T instead of the (B, 4, F) rhs.
     fwd_T = bf16 and mode.endswith("|noxg")
     _, _, eps_norm = _fb_eps()
-    ones = jnp.ones_like(Xmag[..., :1])
-    rhs = jnp.stack([Xmag, Xre, Xim,
-                     jnp.broadcast_to(ones, Xmag.shape)], axis=-1)
     if fwd_T:
         bw, t, G = _fb_gauss_fast(Q, fc, f_fft)
-        out = _fb_dot(G, rhs, bf16, "bnf,bfc->bnc")      # (B, N, 4)
-        T = _fb_dot(G * (-2.0 * t), rhs, bf16, "bnf,bfc->bnc")
+        out = _fb_dot(G, rhs, bf16, "bnf,bcf->bnc")      # (B, N, 4)
+        T = _fb_dot(G * (-2.0 * t), rhs, bf16, "bnf,bcf->bnc")
     else:
         _, _, G = (_fb_gauss_fast if bf16 else _fb_gauss)(Q, fc, f_fft)
-        out = _fb_dot(G, rhs, bf16, "bnf,bfc->bnc")      # (B, N, 4)
+        out = _fb_dot(G, rhs, bf16, "bnf,bcf->bnc")      # (B, N, 4)
     den = out[..., 3] + eps_norm
     Y_raw = out[..., 0] / den
     Y = jnp.nan_to_num(Y_raw, nan=0.0, posinf=0.0, neginf=0.0)
     Zre, Zim = out[..., 1] / den, out[..., 2] / den
     if fwd_T:
-        # Xmag[..., :1] rides along only to give the bwd the spectra
-        # cotangents' shape/dtype without stacking the full (B, F) arrays.
-        res = (Q, fc, f_fft, Xmag[..., :1], bw[..., 0], T,
+        # rhs[..., :1, :1] rides along only to give the bwd the rhs
+        # cotangent's dtype/batch shape without stacking the full array.
+        res = (Q, fc, f_fft, rhs[..., :1, :1], bw[..., 0], T,
                Y, Zre, Zim, den, jnp.isfinite(Y_raw))
     else:
-        res = (Q, fc, f_fft, Xmag, Xre, Xim, Y, Zre, Zim, den,
-               jnp.isfinite(Y_raw))
+        res = (Q, fc, f_fft, rhs, Y, Zre, Zim, den, jnp.isfinite(Y_raw))
     return (Y, Zre, Zim), res
 
 
-def _fb_bwd(mode, res, g):
+def _fb_bwd_rhs(mode, res, g):
     bf16 = mode.startswith("bf16")
     x_grad = not mode.endswith("|noxg")
     eps_q, _, _ = _fb_eps()
     fwd_T = bf16 and not x_grad
     if fwd_T:
-        Q, fc, f_fft, xproto, bw0, T, Y, Zre, Zim, den, finite = res
+        Q, fc, f_fft, rproto, bw0, T, Y, Zre, Zim, den, finite = res
     else:
-        Q, fc, f_fft, Xmag, Xre, Xim, Y, Zre, Zim, den, finite = res
+        Q, fc, f_fft, rhs, Y, Zre, Zim, den, finite = res
     gY, gZre, gZim = g
     # nan_to_num passes zero cotangent at the positions it zeroed
     gY = jnp.where(finite, gY, 0.0)
@@ -292,9 +331,9 @@ def _fb_bwd(mode, res, g):
         # T contraction uses the same operands/precision either way.
         dQ = (-fc / jnp.square(Q + eps_q) / bw0
               * jnp.sum(g4 * T, axis=-1))
-        zX = jnp.zeros((xproto.shape[0], f_fft.shape[0]), xproto.dtype)
-        return (dQ, jnp.zeros_like(fc), jnp.zeros_like(f_fft),
-                zX, zX, zX)
+        gRhs = jnp.zeros(rproto.shape[:-2] + (4, f_fft.shape[0]),
+                         rproto.dtype)
+        return (dQ, jnp.zeros_like(fc), jnp.zeros_like(f_fft), gRhs)
 
     if bf16:
         bw, t, G = _fb_gauss_fast(Q, fc, f_fft)
@@ -302,24 +341,20 @@ def _fb_bwd(mode, res, g):
     else:
         bw, z, G = _fb_gauss(Q, fc, f_fft)
         Gz2 = G * (z * z)
-    ones = jnp.ones_like(Xmag[..., :1])
-    rhs = jnp.stack([Xmag, Xre, Xim,
-                     jnp.broadcast_to(ones, Xmag.shape)], axis=-1)
 
-    T = _fb_dot(Gz2, rhs, bf16, "bnf,bfc->bnc")          # (B, N, 4)
+    T = _fb_dot(Gz2, rhs, bf16, "bnf,bcf->bnc")          # (B, N, 4)
     dQ = (-fc / jnp.square(Q + eps_q) / bw[..., 0]
           * jnp.sum(g4 * T, axis=-1))
 
     if x_grad:
-        H = _fb_dot(G, g4, bf16, "bnf,bnc->bfc")         # (B, F, 4)
-        gX = (H[..., 0], H[..., 1], H[..., 2])
+        H = _fb_dot(G, g4, bf16, "bnf,bnc->bcf")         # (B, 4, F)
+        gRhs = H.astype(rhs.dtype)
     else:
-        gX = (jnp.zeros_like(Xmag), jnp.zeros_like(Xre),
-              jnp.zeros_like(Xim))
-    return (dQ, jnp.zeros_like(fc), jnp.zeros_like(f_fft), *gX)
+        gRhs = jnp.zeros_like(rhs)
+    return (dQ, jnp.zeros_like(fc), jnp.zeros_like(f_fft), gRhs)
 
 
-_fb_apply.defvjp(_fb_fwd, _fb_bwd)
+_fb_apply_rhs.defvjp(_fb_fwd_rhs, _fb_bwd_rhs)
 
 
 def band_phase(Zre, Zim, eps_mag: float = 1e-3):

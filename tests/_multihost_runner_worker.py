@@ -1,11 +1,16 @@
-"""Worker for test_multihost.test_two_process_runner_smoke.
+"""Worker for test_multihost.test_two_process_runner_smoke (+ shard variant).
 
-Usage: python _multihost_runner_worker.py <pid> <nproc> <port> <workdir>
+Usage: python _multihost_runner_worker.py <pid> <nproc> <port> <workdir> \
+           [h5|shard]
 
 Joins the jax.distributed coordinator, then runs the REAL production
 runner (biear_tpu.train.runner.train) for two tiny epochs over the H5
 files the parent test pre-created in <workdir>, with the global batch
-assembled from per-host iterator slices.
+assembled from per-host iterator slices. With the "shard" format the
+runner's production _open_datasets path resolves DATA_FORMAT: shard and
+every rank reads its host-slice of each batch through the native mmap
+loader against the same shard files (page-cache shared across
+processes).
 
 Multi-process write discipline is enforced with a tripwire: on non-main
 ranks, ANY attempt to open-for-write or makedirs under the run tree
@@ -25,6 +30,7 @@ import sys
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     work = sys.argv[4]
+    data_format = sys.argv[5] if len(sys.argv) > 5 else "h5"
 
     # a hang anywhere (a rank missing a collective) must diagnose itself:
     # dump all thread stacks and die instead of absorbing the test timeout
@@ -69,12 +75,19 @@ def main():
 
     from pathlib import Path
     from test_runner import _tiny_rc
-    from biear_tpu.data import ActiveH5Dataset
     from biear_tpu.train.runner import train
 
     rc = _tiny_rc(Path(work))
-    ds = {split: ActiveH5Dataset(os.path.join(work, f"{split}.h5"))
-          for split in ("train", "val", "test")}
+    if data_format == "shard":
+        # datasets=None -> the production _open_datasets resolves
+        # DATA_FORMAT: shard onto ShardDataset over the parent-written
+        # shard files at data_paths(rc)
+        rc.data_format = "shard"
+        ds = None
+    else:
+        from biear_tpu.data import ActiveH5Dataset
+        ds = {split: ActiveH5Dataset(os.path.join(work, f"{split}.h5"))
+              for split in ("train", "val", "test")}
     out = train(rc, datasets=ds, quiet=True, run_id="MP", seed=0)
 
     def strip_sec(h):        # wall-clock differs per rank; metrics must not

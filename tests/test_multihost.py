@@ -135,14 +135,13 @@ _RUNNER_WORKER = os.path.join(os.path.dirname(__file__),
                               "_multihost_runner_worker.py")
 
 
-@pytest.mark.slow
-def test_two_process_runner_smoke(tmp_path):
-    """The PRODUCTION runner under jax.process_count()==2: two tiny epochs
-    through runner.train with per-host input slices assembled into global
-    batches. Asserts (a) both ranks report bit-identical metric histories,
-    (b) exactly one run tree exists, written by rank 0 alone — rank 1
-    carries an open/makedirs tripwire that fails the worker on any write
-    under the run tree, (c) the tree holds the standard artifacts."""
+def _two_process_runner(tmp_path, data_format: str, port: int):
+    """Shared body of the 2-process runner smokes: pre-create the tiny
+    dataset in the requested format, launch two coordinated workers, and
+    assert (a) both ranks report bit-identical metric histories, (b)
+    exactly one run tree exists, written by rank 0 alone — rank 1 carries
+    an open/makedirs tripwire that fails the worker on any write under
+    the run tree, (c) the tree holds the standard artifacts."""
     import json as json_mod
     sys.path.insert(0, os.path.dirname(__file__))
     from test_runner import _tiny_h5
@@ -150,15 +149,26 @@ def test_two_process_runner_smoke(tmp_path):
     rng = np.random.default_rng(0)
     # n=13 rows over 2 hosts at local_bs=2: host 0 gets 7 rows (4 batches),
     # host 1 gets 6 (3) — exercising the all-padding batch equalization
-    _tiny_h5(tmp_path, rng, n=13)
+    h5ds = _tiny_h5(tmp_path, rng, n=13)
+    if data_format == "shard":
+        # the one production input format for scale: both ranks host-slice
+        # their reads through the native mmap loader on the SAME files
+        from test_runner import _tiny_rc
+        from biear_tpu.config import data_paths
+        from biear_tpu.data.native_loader import write_shard
+        rc = _tiny_rc(tmp_path)
+        rc.data_format = "shard"
+        for split, p in data_paths(rc).items():
+            arrays = [a.copy() for a in h5ds[split].rows(
+                np.arange(len(h5ds[split])))]
+            write_shard(p, arrays, ["i16", "i16", "f32", "f32"])
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
-    port = 29531
     procs = [subprocess.Popen(
         [sys.executable, _RUNNER_WORKER, str(pid), "2", str(port),
-         str(tmp_path)],
+         str(tmp_path), data_format],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in range(2)]
     outs = []
@@ -190,6 +200,24 @@ def test_two_process_runner_smoke(tmp_path):
                 "logs_json/test_metrics.json", "logs_json/scalars.jsonl",
                 "checkpoints/best", "checkpoints/last"):
         assert os.path.exists(run_dir / sub), sub
+
+
+@pytest.mark.slow
+def test_two_process_runner_smoke(tmp_path):
+    """The PRODUCTION runner under jax.process_count()==2, H5 input."""
+    _two_process_runner(tmp_path, "h5", port=29531)
+
+
+@pytest.mark.slow
+def test_two_process_runner_shard_input(tmp_path):
+    """The PRODUCTION runner under jax.process_count()==2 with
+    DATA_FORMAT: shard — the native mmap loader serving per-host slices
+    of every global batch from the same shard files in both processes
+    (the scale input path, previously tested single-process only)."""
+    from biear_tpu.data.native_loader import native_available
+    if not native_available():
+        pytest.skip("native loader unavailable")
+    _two_process_runner(tmp_path, "shard", port=29537)
 
 
 @pytest.mark.parametrize("n,bs,hosts", [(13, 2, 2), (130, 32, 2), (64, 8, 4),

@@ -153,15 +153,17 @@ def test_filterbank_apply_custom_vjp_parity(rng):
     jax.grad of the plain-autodiff reference implementation in BOTH
     precision modes, fwd bit-exactly and grads to float32 tolerance."""
     import jax
-    from biear_tpu.ops.filterbank import (_fb_apply, _fb_is_bf16,
-                                          filterbank_apply_ref)
+    from biear_tpu.ops.filterbank import (_fb_apply_rhs, _fb_is_bf16,
+                                          filterbank_apply_ref, stack_rhs)
 
-    # Call _fb_apply directly: filterbank_apply dispatches on BIEAR_FB_VJP
-    # (default 'autodiff' -> the ref body), which would make this test
-    # compare the reference with itself.
+    # Call _fb_apply_rhs directly: filterbank_apply dispatches on
+    # BIEAR_FB_VJP (default 'autodiff' -> the ref body), which would make
+    # this test compare the reference with itself. stack_rhs here is the
+    # exact prologue filterbank_apply runs.
     def fb_custom(Q, fc, f_fft, Xmag, Xre, Xim, w_dtype=None):
-        return _fb_apply(Q, fc, f_fft, Xmag, Xre, Xim,
-                         "bf16" if _fb_is_bf16(w_dtype) else "f32")
+        return _fb_apply_rhs(Q, fc, f_fft,
+                             stack_rhs(Xmag, Xre, Xim, w_dtype),
+                             "bf16" if _fb_is_bf16(w_dtype) else "f32")
 
     fc, Q0 = np_erb_spaced_fc_and_q(100, 50.0, 7200.0)
     f_fft = np.linspace(0, 8000.0, 513)
@@ -215,7 +217,12 @@ def test_filterbank_apply_noxg_mode(rng):
     to the x_grad=True custom bwd (the skipped H contraction never feeds
     dQ) and return exact zeros for the spectra cotangents."""
     import jax
-    from biear_tpu.ops.filterbank import _fb_apply
+    from biear_tpu.ops.filterbank import _fb_apply_rhs, stack_rhs
+
+    def _fb_apply(Q, fc, f_fft, Xmag, Xre, Xim, mode):
+        wd = jnp.bfloat16 if mode.startswith("bf16") else None
+        return _fb_apply_rhs(Q, fc, f_fft, stack_rhs(Xmag, Xre, Xim, wd),
+                             mode)
 
     fc, Q0 = np_erb_spaced_fc_and_q(64, 50.0, 7200.0)
     f_fft = np.linspace(0, 8000.0, 257)
