@@ -125,17 +125,24 @@ def test_direct_gammatone_route(rng):
     assert np.isfinite(m).all() and (np.abs(p) <= np.pi).all()
 
 
-def test_direct_gammatone_route_reference_oracle(rng):
+@pytest.mark.parametrize("fs,data_dim,timesteps,nsamp", [
+    (8000, 7, 4, 3100),       # uneven tail (frame_len truncation)
+    (16000, 12, 19, 16000),   # the reference's canonical 1 s / 19-frame grid
+    (22050, 3, 9, 11000),     # non-multiple-of-8k rate, few wide bands
+    (8000, 24, 2, 4000),      # many bands, centres crowd the Nyquist clip
+])
+def test_direct_gammatone_route_reference_oracle(rng, fs, data_dim,
+                                                 timesteps, nsamp):
     """Numerical parity with the reference routine (utils.py:147-231),
     re-derived independently here: scipy IIR gammatone + Hilbert, per-band
     ERB-spaced centres clipped below Nyquist, per-frame RMS of the
     1e-12-floored envelope in dB, and the reference's phase-index quirk
     (absolute centre index clamped into the local slice, so frames >= 1
-    sample the frame END, utils.py:218-221)."""
+    sample the frame END, utils.py:218-221). Swept over (fs, data_dim,
+    timesteps) corners (round-5 VERDICT item 8)."""
     from scipy.signal import gammatone, hilbert, lfilter
 
-    fs, data_dim, timesteps = 8000, 7, 4
-    wav = rng.standard_normal(3100).astype(np.float32)
+    wav = rng.standard_normal(nsamp).astype(np.float32)
 
     def e(f):
         return 21.4 * np.log10(4.37e-3 * f + 1.0)
@@ -270,6 +277,70 @@ def test_gtgram_windowing_semantics():
     assert feat_short.shape == (50, 16)
     assert np.allclose(feat_short[-1], 0.0)
     assert not np.allclose(feat_short[0], 0.0)
+
+
+@pytest.mark.parametrize("fs,data_dim,timesteps", [
+    (8000, 8, 10), (16000, 16, 50), (22050, 12, 25)])
+def test_gtgram_gain_shift_is_exact(fs, data_dim, timesteps):
+    """Analytic invariant of the gtgram route (utils.py:119-142) across
+    (fs, data_dim, timesteps) corners: the chain is linear-filter ->
+    envelope -> 20*log10, so scaling the waveform by g must shift EVERY
+    cell by exactly 20*log10(g) dB (the 1e-12 floor never binds at these
+    amplitudes). Holds for any correct implementation regardless of the
+    filterbank's internals — a self-derivation-independent check."""
+    rng = np.random.default_rng(7)
+    wav = rng.standard_normal(fs).astype(np.float32)
+    a = compute_gammatone_feature(wav, fs, data_dim=data_dim,
+                                  timesteps=timesteps)
+    b = compute_gammatone_feature(4.0 * wav, fs, data_dim=data_dim,
+                                  timesteps=timesteps)
+    np.testing.assert_allclose(b - a, 20.0 * np.log10(4.0), atol=1e-4)
+
+
+@pytest.mark.parametrize("fs,timesteps", [(8000, 10), (16000, 50),
+                                          (22050, 20)])
+def test_gtgram_impulse_lands_in_its_frame(fs, timesteps):
+    """Frame-alignment oracle across (fs, timesteps): an impulse at the
+    CENTRE of window k peaks, per band, in the frame containing
+    t_impulse + 3/(2 pi b) — the analytic 4th-order gammatone envelope
+    peak delay with b = 1.019 * ERB(cf) (low bands delay up to ~15 ms,
+    which crosses a 20 ms window boundary; the +-1 tolerance absorbs the
+    peak straddling a frame edge while still catching any global frame
+    misalignment)."""
+    from biear_tpu.ops.features import erb_space_slaney
+    data_dim = 12
+    win = fs // timesteps
+    cfs = erb_space_slaney(50.0, fs / 2.0, data_dim)   # DESCENDING order
+    b = 1.019 * (cfs / 9.26449 + 24.7)
+    delay = (3.0 / (2 * np.pi * b) * fs).astype(int)   # samples
+    for k in (0, timesteps // 2, timesteps - 1):
+        pos = k * win + win // 2
+        wav = np.zeros(fs, np.float32)
+        wav[pos] = 1.0
+        feat = compute_gammatone_feature(wav, fs, data_dim=data_dim,
+                                         timesteps=timesteps)
+        assert feat.shape == (timesteps, data_dim)
+        expect = np.minimum((pos + delay) // win, timesteps - 1)
+        assert np.all(np.abs(np.argmax(feat, axis=0) - expect) <= 1), \
+            (k, np.argmax(feat, axis=0), expect)
+
+
+@pytest.mark.parametrize("fs,num", [(8000, 4), (16000, 64), (22050, 100),
+                                    (44100, 31)])
+def test_erb_space_slaney_closed_form_sweep(fs, num):
+    """erb_space_slaney against the published ERBSpace.m closed form,
+    re-derived in-test: cf_i = -c + exp(i/num * (ln(lo+c) - ln(hi+c))) *
+    (hi+c), c = EarQ*minBW = 9.26449 * 24.7 — swept over (fs, num)
+    corners so the centre grid feeding both gtgram and the IIR route is
+    pinned everywhere, not just at the canonical 64-band case."""
+    from biear_tpu.ops.features import erb_space_slaney
+    lo, hi = 50.0, fs / 2.0
+    c = 9.26449 * 24.7
+    i = np.arange(1, num + 1)
+    want = -c + np.exp(i * (np.log(lo + c) - np.log(hi + c)) / num) * (hi + c)
+    np.testing.assert_allclose(erb_space_slaney(lo, hi, num), want,
+                               rtol=1e-12)
+    np.testing.assert_allclose(want[-1], lo, rtol=1e-9)
 
 
 def test_goldens_pin_gtgram_and_stft():
