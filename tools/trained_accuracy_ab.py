@@ -1,0 +1,295 @@
+#!/usr/bin/env python
+"""TRAINED accuracy A/B: the actual torch reference vs biear_tpu, same data.
+
+The trajectory-parity harness (tools/torch_trajectory_parity.py) proves
+step-level equivalence with dropout off; this tool closes the loop at the
+OUTCOME level: both frameworks train their own flagship dual-adaptive
+model — each with its natural init, real dropout, the reference's full
+loop semantics (per-group clip 0.2/3.0, Adam wd=1e-5/eps=1e-7, plateau
+LR) — on the IDENTICAL fixed H5 dataset, and are compared on the same
+held-out test metrics (sound_acc / aoa_mae / dist_acc, train-identical
+definitions, evaluate_biear.py:380-393).
+
+Dataset: speech-corpus anechoic synthesis (data/speech.py pools, test
+pool = unseen speakers per generate_anechoic_data.py:22-27) + diffuse
+noise at U[5,25] dB SNR — the round-3 protocol conditions at small
+scale: 2,000 train / 400 val / 600 test (1/3 per source count).
+
+Stages (each its own invocation so the ~1 h torch CPU run can ride in
+the background while the TPU side waits for the tunnel):
+  python tools/trained_accuracy_ab.py gen    --work /root/ab
+  python tools/trained_accuracy_ab.py torch  --work /root/ab --epochs 10
+  python tools/trained_accuracy_ab.py ours   --work /root/ab --epochs 10
+  python tools/trained_accuracy_ab.py report --work /root/ab \
+      --out docs/trained_accuracy_ab.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+REFERENCE_DIR = "/root/reference"
+
+TRAIN_N, VAL_N, TEST_N = 2000, 400, 600
+FS = 16000
+
+
+def _gen(work: str, seed: int):
+    """Fixed dataset via the on-device synthesizer on CPU jax (the synth
+    is pure jax; CPU is slow but this runs once)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp  # noqa: F401
+    import numpy as np
+    from biear_tpu.data.h5io import save_active_h5
+    from biear_tpu.data.speech import make_speech_pool
+    from biear_tpu.data.synth import AnechoicSynthesizer, make_test_hrir_bank
+
+    os.makedirs(work, exist_ok=True)
+    ir, az, dist = make_test_hrir_bank()
+    seg_len = FS + 7 * 128
+    pool_a = make_speech_pool(160, seg_len=seg_len, fs=FS, seed=seed + 1)
+    pool_b = make_speech_pool(160, seg_len=seg_len, fs=FS, seed=seed + 9999)
+
+    def synth_for(pool):
+        return AnechoicSynthesizer(ir, az, dist, pool, fs=FS, num_lags=100,
+                                   noise_snr_db=(5.0, 25.0))
+
+    def materialise(synth, n, key, thirds: bool):
+        rows = {k: [] for k in ("x1", "x2", "x3", "y")}
+        bs = 100
+        made = 0
+        while made < n:
+            key, k = jax.random.split(key)
+            n_src = (1 + (made * 3) // n) if thirds else None
+            b = synth.sample_batch(k, bs, n_src=n_src)
+            take = min(bs, n - made)
+            for name, arr in zip(("x1", "x2", "x3", "y"), b):
+                rows[name].append(np.asarray(arr[:take], np.float32))
+            made += take
+            print(f"  {made}/{n}", end="\r", flush=True)
+        return {k: np.concatenate(v) for k, v in rows.items()}
+
+    key = jax.random.PRNGKey(seed)
+    ka, kb, kc = jax.random.split(key, 3)
+    t0 = time.time()
+    sa = synth_for(pool_a)
+    save_active_h5(os.path.join(work, "train.h5"),
+                   **materialise(sa, TRAIN_N, ka, thirds=False))
+    save_active_h5(os.path.join(work, "val.h5"),
+                   **materialise(sa, VAL_N, kb, thirds=True))
+    save_active_h5(os.path.join(work, "test.h5"),
+                   **materialise(synth_for(pool_b), TEST_N, kc, thirds=True))
+    print(f"[gen] wrote {TRAIN_N}/{VAL_N}/{TEST_N} rows to {work} "
+          f"in {time.time()-t0:.0f}s")
+
+
+# ---------------------------------------------------------------- torch side
+
+def _torch_metrics(model, x1, x2, x3, y, bs, torch):
+    """Eval metrics with the train-identical definitions
+    (train_biear.py:433-443), batched."""
+    import numpy as np
+    model.eval()
+    n = len(y)
+    sums = np.zeros(3)
+    with torch.no_grad():
+        for s in range(0, n, bs):
+            sl = slice(s, s + bs)
+            sound, aoa, dist = model(torch.tensor(x1[sl]),
+                                     torch.tensor(x2[sl]),
+                                     torch.tensor(x3[sl]))
+            yr = torch.tensor(y[sl]).reshape(-1, 8, 7)
+            ys, ya, yd = yr[:, :, 0], yr[:, :, 1], yr[:, :, 2:]
+            m = len(yr)
+            sums[0] += m * ((torch.sigmoid(sound) > 0.5) == (ys > 0.5)
+                            ).float().mean().item()
+            sums[1] += m * (aoa - ya).abs().mean().item()
+            sums[2] += m * (dist.argmax(-1) == yd.argmax(-1)
+                            ).float().mean().item()
+    return dict(zip(("sound_acc", "aoa_mae", "dist_acc"), sums / n))
+
+
+def _run_torch(work: str, epochs: int, seed: int):
+    """The reference's REAL training on the fixed dataset: dropout ON,
+    loss + Q regularizers (train_biear.py:417-491), per-group clip,
+    two-LR Adam, ReduceLROnPlateau — its own torch init."""
+    import h5py
+    import numpy as np
+    import torch
+    from torch import nn
+    sys.path.insert(0, REFERENCE_DIR)
+    import model_torch as ref_model
+
+    def load(split):
+        with h5py.File(os.path.join(work, f"{split}.h5"), "r") as f:
+            return tuple(np.asarray(f[k], np.float32)
+                         for k in ("x1", "x2", "x3", "y"))
+
+    tr, va, te = load("train"), load("val"), load("test")
+
+    torch.manual_seed(seed)
+    tm = ref_model.build_model_active(
+        use_cc=True, fb_alpha=0.2, fixed_frontend_q=False,
+        deltaQ_base=1.0, deltaQ_low_factor=0.3, deltaQ_high_factor=5.0,
+        deltaQ_mode="relative")
+    fb_params = [p for p in tm.bifb.parameters() if p.requires_grad]
+    fb_ids = {id(p) for p in fb_params}
+    be_params = [p for p in tm.parameters()
+                 if p.requires_grad and id(p) not in fb_ids]
+    opt = torch.optim.Adam(
+        [{"params": fb_params, "lr": 5e-5},
+         {"params": be_params, "lr": 1e-4}],
+        weight_decay=1e-5, eps=1e-7)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=10)
+
+    bce = nn.BCEWithLogitsLoss(pos_weight=torch.full((8,), 3.0))
+    aoa_fn = nn.SmoothL1Loss(beta=0.02)
+    ce = nn.CrossEntropyLoss()
+
+    def loss_fn(batch):
+        x1, x2, x3, y = (torch.tensor(a) for a in batch)
+        sound, aoa, dist = tm(torch.clamp(x1, -1, 1),
+                              torch.clamp(x2, -1, 1), x3)
+        yr = y.reshape(-1, 8, 7)
+        loss = (0.2 * bce(sound, yr[:, :, 0])
+                + 0.45 * aoa_fn(aoa, yr[:, :, 1])
+                + 0.35 * ce(dist.reshape(-1, 5),
+                            yr[:, :, 2:].argmax(-1).reshape(-1)))
+        Q, Q0 = tm.last_Q, tm.bifb.Q0.view(1, 1, -1)
+        logQ, logQ0 = torch.log(Q + 1e-8), torch.log(Q0 + 1e-8)
+        return (loss + 1e-3 * ((logQ - logQ0) ** 2).mean()
+                + 1e-3 * ((logQ[:, :, 1:] - logQ[:, :, :-1]) ** 2).mean())
+
+    bs = 64
+    rng = np.random.default_rng(seed)
+    hist = []
+    t0 = time.time()
+    for ep in range(1, epochs + 1):
+        tm.train()
+        order = rng.permutation(len(tr[3]))
+        ep_loss, nb = 0.0, 0
+        for s in range(0, len(order), bs):
+            idx = order[s:s + bs]
+            opt.zero_grad(set_to_none=True)
+            loss = loss_fn(tuple(a[idx] for a in tr))
+            if not torch.isfinite(loss):
+                continue
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(fb_params, 0.2)
+            torch.nn.utils.clip_grad_norm_(be_params, 3.0)
+            opt.step()
+            ep_loss += float(loss.item())
+            nb += 1
+        with torch.no_grad():
+            tm.eval()
+            vloss = sum(float(loss_fn(tuple(a[s:s + bs] for a in va)).item())
+                        * min(bs, len(va[3]) - s)
+                        for s in range(0, len(va[3]), bs)) / len(va[3])
+        sched.step(vloss)
+        vm = _torch_metrics(tm, *va, bs, torch)
+        hist.append({"epoch": ep, "train_loss": ep_loss / max(nb, 1),
+                     "val_loss": vloss, **{f"val_{k}": v
+                                           for k, v in vm.items()}})
+        print(f"[torch] epoch {ep}/{epochs} train {hist[-1]['train_loss']:.4f} "
+              f"val {vloss:.4f} sound {vm['sound_acc']:.3f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+
+    test = _torch_metrics(tm, *te, bs, torch)
+    out = {"side": "torch", "epochs": epochs, "seed": seed,
+           "wall_s": time.time() - t0,
+           "utt_per_sec": epochs * len(tr[3]) / (time.time() - t0),
+           "history": hist, "test": test}
+    with open(os.path.join(work, "torch_result.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print("[torch] test:", test)
+
+
+# ---------------------------------------------------------------- our side
+
+def _run_ours(work: str, epochs: int, seed: int):
+    """biear_tpu's production runner on the same H5s — our init, our
+    jitted step, the PRODUCTION TPU policy (bf16-W + matmul spectra):
+    the accuracy claim under test is that the production numerics match
+    the torch-f32 reference after real training."""
+    import dataclasses
+    from biear_tpu.config import load_run_config
+    from biear_tpu.data.h5io import ActiveH5Dataset
+    from biear_tpu.train.runner import train
+
+    rc = load_run_config(os.path.join(REPO, "conf", "config.yaml"))
+    rc.root = work
+    rc.runs_root = os.path.join(work, "runs")
+    rc.epochs = epochs
+    rc.batch_size = 64
+    rc.print_every = 1000
+    rc.model_cfg = dataclasses.replace(rc.model_cfg,
+                                       fb_w_dtype="bfloat16")
+    ds = {s: ActiveH5Dataset(os.path.join(work, f"{s}.h5"), preload=True)
+          for s in ("train", "val", "test")}
+    t0 = time.time()
+    out = train(rc, datasets=ds, quiet=True, run_id="AB", seed=seed)
+    res = {"side": "ours", "epochs": epochs, "seed": seed,
+           "wall_s": time.time() - t0,
+           "utt_per_sec": epochs * TRAIN_N / (time.time() - t0),
+           "history": out["history"]["val"], "test": out["test"],
+           "run_dir": out["run_dir"]}
+    with open(os.path.join(work, "ours_result.json"), "w") as f:
+        json.dump(res, f, indent=2)
+    print("[ours] test:", out["test"])
+
+
+def _report(work: str, out_path: str):
+    with open(os.path.join(work, "torch_result.json")) as f:
+        t = json.load(f)
+    with open(os.path.join(work, "ours_result.json")) as f:
+        o = json.load(f)
+    rep = {
+        "what": ("trained accuracy A/B: torch reference (f32, CPU) vs "
+                 "biear_tpu production policy (bf16-W + matmul spectra), "
+                 "identical fixed dataset (speech corpus + U[5,25] dB "
+                 "noise), each side its own init + real dropout"),
+        "dataset": {"train": TRAIN_N, "val": VAL_N, "test": TEST_N,
+                    "test_pool": "unseen speakers"},
+        "epochs": t["epochs"],
+        "torch": {"test": t["test"], "utt_per_sec": t["utt_per_sec"],
+                  "wall_s": t["wall_s"]},
+        "ours": {"test": {k: o["test"][k] for k in
+                          ("sound_acc", "aoa_mae", "dist_acc")},
+                 "utt_per_sec": o["utt_per_sec"], "wall_s": o["wall_s"]},
+        "delta": {k: o["test"][k] - t["test"][k]
+                  for k in ("sound_acc", "aoa_mae", "dist_acc")},
+    }
+    with open(out_path, "w") as f:
+        json.dump(rep, f, indent=2)
+    print(json.dumps(rep["delta"], indent=2))
+    print("wrote", out_path)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stage", choices=("gen", "torch", "ours", "report"))
+    ap.add_argument("--work", default="/root/ab_run")
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="docs/trained_accuracy_ab.json")
+    args = ap.parse_args()
+    if args.stage == "gen":
+        _gen(args.work, args.seed)
+    elif args.stage == "torch":
+        _run_torch(args.work, args.epochs, args.seed)
+    elif args.stage == "ours":
+        _run_ours(args.work, args.epochs, args.seed)
+    else:
+        _report(args.work, args.out)
+
+
+if __name__ == "__main__":
+    main()
