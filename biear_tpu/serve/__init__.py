@@ -6,7 +6,7 @@ streaming.py's module docstring for the contract and limits).
 """
 
 from .streaming import (stream_init, stream_step, stream_readout,
-                        stream_apply, stream_plan)
+                        stream_apply, stream_plan, stream_reset)
 
 __all__ = ["stream_init", "stream_step", "stream_readout", "stream_apply",
-           "stream_plan"]
+           "stream_plan", "stream_reset"]

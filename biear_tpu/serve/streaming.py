@@ -110,16 +110,47 @@ def stream_init(params, cfg: BiEARConfig, batch: int):
         fe = (jnp.broadcast_to(Q0[None], (2, B, N)),
               jnp.zeros((2, B, H), jnp.float32))
 
-    state = {"t": jnp.zeros((), jnp.int32), "fe": fe,
+    # t and cc.n are PER-STREAM (B,) counters, not scalars: under stream
+    # churn (slots re-initialised mid-flight by stream_reset) each
+    # stream's running means divide by its OWN frame/sample count.
+    state = {"t": jnp.zeros((B,), jnp.int32), "fe": fe,
              "ild": _enc_init(batch, cfg.latent_dim),
              "ipd": _enc_init(batch, cfg.latent_dim)}
     if cfg.use_cc:
         z = lambda *s: jnp.zeros(s, jnp.float32)
-        state["cc"] = {"raw": z(B, 2 * K + 1), "n": jnp.zeros((), jnp.int32),
+        state["cc"] = {"raw": z(B, 2 * K + 1),
+                       "n": jnp.zeros((B,), jnp.int32),
                        "sumL": z(B), "sumR": z(B),
                        "headL": z(B, K), "headR": z(B, K),
                        "tailL": z(B, K), "tailR": z(B, K)}
     return state
+
+
+def stream_reset(params, cfg: BiEARConfig, state, mask):
+    """Re-initialise the masked slots (stream churn: an utterance ended
+    and a NEW stream takes its batch slot). mask: (B,) bool, True = slot
+    restarts fresh. Untouched slots are bit-identical to before; reset
+    slots are bit-identical to a stream_init slot — so a post-churn slot
+    reproduces an independent fresh stream exactly (tested in
+    tests/test_streaming.py)."""
+    B = mask.shape[0]
+    fresh = stream_init(params, cfg, B)
+    dual = not cfg.fixed_frontend_q and cfg.controller_mode != "single"
+
+    def sel(axis):
+        def f(s0, s):
+            m = jnp.reshape(mask, (1,) * axis + (B,)
+                            + (1,) * (s.ndim - axis - 1))
+            return jnp.where(m, s0, s)
+        return f
+
+    out = {}
+    for k in state:
+        # dual-mode frontend carry is ear-stacked (2, B, ...): the
+        # streams axis sits at 1; everywhere else it leads.
+        axis = 1 if (k == "fe" and dual) else 0
+        out[k] = jax.tree.map(sel(axis), fresh[k], state[k])
+    return out
 
 
 # ---------------- CC accumulator ----------------
@@ -142,7 +173,7 @@ def _cc_accumulate(cc, chunkL, chunkR, K: int):
     contrib = jnp.einsum("blw,blw->bl", extL[:, pL], extR[:, pR],
                          precision=jax.lax.Precision.HIGHEST)
 
-    first = cc["n"] == 0
+    first = (cc["n"] == 0)[:, None]                     # per-stream (B, 1)
     if w >= K:
         head = lambda old, chunk: jnp.where(first, chunk[:, :K], old)
     else:
@@ -170,7 +201,7 @@ def _cc_readout(cc, plan):
     resample stage is shared verbatim with the batch path
     (ops/xcorr._interp_to_lags)."""
     K = plan["K"]
-    n = cc["n"].astype(jnp.float32)
+    n = jnp.maximum(cc["n"].astype(jnp.float32), 1.0)   # per-stream (B,)
     muL = cc["sumL"] / n
     muR = cc["sumR"] / n
 
@@ -185,7 +216,7 @@ def _cc_readout(cc, plan):
     S_R = cc["sumR"][:, None] - jnp.where(pos, tailR, headR)
     S_L = cc["sumL"][:, None] - jnp.where(pos, headL, tailL)
     centered = (cc["raw"] - muL[:, None] * S_R - muR[:, None] * S_L
-                + (n - a[None, :]) * (muL * muR)[:, None])
+                + (n[:, None] - a[None, :]) * (muL * muR)[:, None])
     return _interp_to_lags(centered, jnp.asarray(plan["j0"]),
                            jnp.asarray(plan["w"]))
 
@@ -284,7 +315,7 @@ def stream_readout(params, cfg: BiEARConfig, state, tailL=None, tailR=None):
         cc = _cc_accumulate(cc, tailL.astype(jnp.float32),
                             tailR.astype(jnp.float32), plan["K"])
 
-    t = jnp.maximum(state["t"].astype(jnp.float32), 1.0)
+    t = jnp.maximum(state["t"].astype(jnp.float32), 1.0)[:, None]
     nz = lambda z: jnp.nan_to_num(z, nan=0.0, posinf=0.0, neginf=0.0)
     z_ild = nz(state["ild"]["sum"] / t)
     z_ipd = nz(state["ipd"]["sum"] / t)

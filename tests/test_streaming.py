@@ -135,7 +135,7 @@ def test_stream_cc_matches_batch_feature():
 
     B, K = 4, plan["K"]
     z = lambda *s: jnp.zeros(s, jnp.float32)
-    cc = {"raw": z(B, 2 * K + 1), "n": jnp.zeros((), jnp.int32),
+    cc = {"raw": z(B, 2 * K + 1), "n": jnp.zeros((B,), jnp.int32),
           "sumL": z(B), "sumR": z(B), "headL": z(B, K), "headR": z(B, K),
           "tailL": z(B, K), "tailR": z(B, K)}
     # Deliberately uneven chunking (independent of the frame hop): the
@@ -166,7 +166,68 @@ def test_stream_readout_is_anytime():
     assert dist.shape == (2, cfg.n_sectors, cfg.n_dist_class)
     for x in (sound, aoa, dist):
         assert bool(jnp.all(jnp.isfinite(x)))
-    assert int(state["t"]) == 3
+    assert state["t"].shape == (2,) and int(state["t"][0]) == 3
+
+
+def test_stream_reset_slot_equals_fresh_stream():
+    """Stream churn exactness: after stream_reset on slot j mid-flight,
+    slot j's subsequent hops + readout must be BIT-identical to an
+    independent fresh stream fed the same post-reset audio, while the
+    untouched slots are bit-identical to an unchurned run. This is what
+    makes per-slot re-init sound under mixed-phase batches (per-stream
+    t / cc.n counters)."""
+    from biear_tpu.serve import stream_reset
+
+    cfg = BiEARConfig(controller_mode="dual", use_cc=True,
+                      deltaQ_mode="relative", deltaQ_base=1.0,
+                      deltaQ_low_factor=0.3, deltaQ_high_factor=5.0)
+    params = init_active(jax.random.PRNGKey(3), cfg)
+    p = params["bifb"]["fb"]
+    p["q_out"]["l3"]["w"] = 0.25 * jax.random.normal(
+        jax.random.PRNGKey(7), p["q_out"]["l3"]["w"].shape)
+    plan = stream_plan(cfg)
+    hop = plan["hop"]
+    B, j = 3, 1
+    wavL, wavR = _wavs(np.random.default_rng(21), B=B)
+    wavL2, wavR2 = _wavs(np.random.default_rng(22), B=B)
+
+    # churned run: 4 hops of wav1, reset slot j, 5 hops of wav2
+    state = stream_init(params, cfg, B)
+    for t in range(4):
+        sl = slice(t * hop, (t + 1) * hop)
+        state = stream_step(params, cfg, state, wavL[:, sl], wavR[:, sl])
+    pre = jax.tree.map(lambda x: np.asarray(x), state)
+    mask = jnp.asarray([i == j for i in range(B)])
+    state = stream_reset(params, cfg, state, mask)
+    for t in range(5):
+        sl = slice(t * hop, (t + 1) * hop)
+        state = stream_step(params, cfg, state, wavL2[:, sl], wavR2[:, sl])
+    got = stream_readout(params, cfg, state)
+
+    # reference A: an all-fresh batch over the same 5 hops (same batch
+    # shape — XLA dot tiling differs across batch sizes, so exactness is
+    # defined within a shape); slot j must match bit-for-bit
+    ref_state = stream_init(params, cfg, B)
+    for t in range(5):
+        sl = slice(t * hop, (t + 1) * hop)
+        ref_state = stream_step(params, cfg, ref_state,
+                                wavL2[:, sl], wavR2[:, sl])
+    ref = stream_readout(params, cfg, ref_state)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g[j:j + 1]),
+                                      np.asarray(r[j:j + 1]))
+
+    # reference B: unchurned slots continue exactly as if no reset happened
+    state_b = jax.tree.map(jnp.asarray, pre)
+    for t in range(5):
+        sl = slice(t * hop, (t + 1) * hop)
+        state_b = stream_step(params, cfg, state_b,
+                              wavL2[:, sl], wavR2[:, sl])
+    ref_b = stream_readout(params, cfg, state_b)
+    keep = np.array([i for i in range(B) if i != j])
+    for g, r in zip(got, ref_b):
+        np.testing.assert_array_equal(np.asarray(g)[keep],
+                                      np.asarray(r)[keep])
 
 
 def test_stream_rejects_overlapping_frames():
