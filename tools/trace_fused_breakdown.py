@@ -124,25 +124,30 @@ def main():
     hlo = compiled.as_text()
     fusion_to_comp, comp_srcs = fusion_sources(hlo)
 
+    # make_train_chunk's jit DONATES (params, opt_state): every call
+    # consumes its state buffers, so thread the outputs back in (reusing
+    # the originals surfaces as an opaque axon InvalidArgument on call 2)
+    st = {"p": params, "o": opt_state}
+
     def run_once(k):
-        return compiled(synth.bank, params, opt_state, k, jnp.float32(1.0))
+        st["p"], st["o"], ms = compiled(synth.bank, st["p"], st["o"], k,
+                                        jnp.float32(1.0))
+        return ms
 
     key, k = jax.random.split(key)
-    p, o, ms = run_once(k)
+    ms = run_once(k)
     jax.device_get(ms["loss"])                        # warmup
-    del p, o
 
     # measured wall for 1 chunk dispatch (dispatch gap shows up here)
     key, k = jax.random.split(key)
     t0 = time.perf_counter()
-    p, o, ms = run_once(k)
+    ms = run_once(k)
     jax.device_get(ms["loss"])
     wall_s = time.perf_counter() - t0
-    del p, o
 
     key, k = jax.random.split(key)
     with jax.profiler.trace(args.trace_dir):
-        p, o, ms = run_once(k)
+        ms = run_once(k)
         jax.device_get(ms["loss"])
 
     from trace_attribution import load_trace, device_pid, leaf_events
