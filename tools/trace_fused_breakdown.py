@@ -159,6 +159,18 @@ def main():
     unattributed = collections.Counter()
     for e in leaves:
         base = e["name"].split(" ")[0]
+        # Pallas custom calls carry no HLO source metadata; both live in
+        # ops/window_gather.py and run only on the synthesis side of the
+        # fused chunk (scene gather+mix, CC-lag extraction of x3)
+        if base.startswith(("_gather_mix_pallas", "_cc_pallas")):
+            buckets["synthesis"] += e["dur"]
+            continue
+        # boundary copies (copy/copy-done): scan-carry + donation +
+        # synth->step handoff traffic — kept as their own bucket rather
+        # than guessed onto either side
+        if base.split(".")[0] in ("copy", "copy-done", "copy-start"):
+            buckets["boundary_copies"] += e["dur"]
+            continue
         comp = fusion_to_comp.get(base)
         srcs = comp_srcs.get(comp, comp_srcs.get(f"@{base}", set())) \
             if (comp or f"@{base}" in comp_srcs) else set()

@@ -247,10 +247,21 @@ def _run_ours(work: str, epochs: int, seed: int):
 
 
 def _report(work: str, out_path: str):
+    import glob as _glob
     with open(os.path.join(work, "torch_result.json")) as f:
         t = json.load(f)
-    with open(os.path.join(work, "ours_result.json")) as f:
-        o = json.load(f)
+    # seed replicates (ours_result_s*.json) quantify our side's seed
+    # variance; the primary comparison uses seed 0 (= the torch seed)
+    seed_files = sorted(_glob.glob(os.path.join(work, "ours_result_s*.json")))
+    seeds = []
+    for sf in seed_files:
+        with open(sf) as f:
+            seeds.append(json.load(f))
+    if seeds:
+        o = seeds[0]
+    else:
+        with open(os.path.join(work, "ours_result.json")) as f:
+            o = json.load(f)
     rep = {
         "what": ("trained accuracy A/B: torch reference (f32, CPU) vs "
                  "biear_tpu production policy (bf16-W + matmul spectra), "
@@ -267,6 +278,16 @@ def _report(work: str, out_path: str):
         "delta": {k: o["test"][k] - t["test"][k]
                   for k in ("sound_acc", "aoa_mae", "dist_acc")},
     }
+    if len(seeds) > 1:
+        rep["ours_seeds"] = [
+            {"seed": s["seed"],
+             "test": {k: s["test"][k]
+                      for k in ("sound_acc", "aoa_mae", "dist_acc")}}
+            for s in seeds]
+        rep["ours_seed_range"] = {
+            k: [min(s["test"][k] for s in seeds),
+                max(s["test"][k] for s in seeds)]
+            for k in ("sound_acc", "aoa_mae", "dist_acc")}
     with open(out_path, "w") as f:
         json.dump(rep, f, indent=2)
     print(json.dumps(rep["delta"], indent=2))
