@@ -136,8 +136,14 @@ def _mix_kernel(rows_ref, qb_ref, cl_ref, meas_ref, pool_ref, kb_ref,
     fw = jnp.concatenate(
         [pltpu.roll(w, (WIN_BLOCKS - k) % WIN_BLOCKS, 0)[:nf]
          for k in range(ncol // 128)], axis=-1)
+    # contraction written ears-major: out block is (2*128, nf), so the
+    # materialised kernel output is PHYSICALLY the {1,2,0} layout the
+    # consuming model fusions want — the wrapper's swapaxes back to the
+    # logical (X, nf, 2*128) then folds to a bitcast instead of XLA
+    # round-tripping ~200 MB/step through HBM to re-lay it out
+    # (docs/fused_breakdown.json round-5 copy bucket)
     out_ref[0] = jnp.dot(fw.astype(kb_ref.dtype), kb_ref[meas_ref[i]],
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32).T
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6))
@@ -159,13 +165,14 @@ def _gather_mix_pallas(pool3, rows, offs, meas, kb, nf: int,
                       pl.BlockSpec((M, ncol, two_ears),
                                    lambda i, r, q, c, m: (0, 0, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, nf, two_ears),
+            out_specs=pl.BlockSpec((1, two_ears, nf),
                                    lambda i, r, q, c, m: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((X, nf, two_ears), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((X, two_ears, nf), jnp.float32),
         interpret=interpret,
-    )(rows.astype(jnp.int32), qb, cl, meas.astype(jnp.int32), pool3, kb)
+    )(rows.astype(jnp.int32), qb, cl, meas.astype(jnp.int32),
+      pool3, kb).swapaxes(1, 2)
 
 
 def _gather_mix_xla(pool3, rows, offs, meas, kb, nf: int, precision=None,

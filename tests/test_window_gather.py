@@ -134,7 +134,11 @@ def test_gather_mix_interpret_matches_oracle():
 
 def test_gather_mix_kernel_and_fallback_agree():
     """Interpret-mode kernel vs XLA composition: same operand dtype (f32
-    here — bf16 is a device policy), identical framing -> tight match."""
+    here — bf16 is a device policy), identical framing -> tight match.
+    atol: the kernel's ears-major output block (the layout contract that
+    keeps the fused chunk copy-free, ops/window_gather.py::_mix_kernel)
+    makes XLA fuse a transpose into the interpret-mode dot, shifting f32
+    accumulation order by ~3e-5 on a 384-term contraction."""
     from biear_tpu.ops.window_gather import (_gather_mix_pallas,
                                              _gather_mix_xla)
     nf = 13
@@ -145,7 +149,7 @@ def test_gather_mix_kernel_and_fallback_agree():
     b = np.asarray(_gather_mix_xla(
         jnp.asarray(pool3), jnp.asarray(rows), jnp.asarray(offs),
         jnp.asarray(meas), jnp.asarray(kb), nf))
-    np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+    np.testing.assert_allclose(a, b, rtol=0, atol=5e-5)
 
 
 def test_gather_mix_rejects_unpadded_kb():
